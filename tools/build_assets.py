@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Build static data assets for rrtmg_lw_tpu from the reference source.
+
+Extracts the numeric tables embedded as Fortran data statements in the
+reference (AER-RC/RRTMG_LW) into ``rrtmg_lw_tpu/assets/static_tables.npz``:
+
+  * Planck integrals        totplnk(181,16), totplk16(181) and d/dT
+                            variants             [rrtmg_lw_setcoef.f90:600-2009]
+  * reference atmosphere    pref/preflog/tref(59), chi_mls(7,59)
+                                                  [rrtmg_lw_setcoef.f90:437-597]
+  * band metadata           wavenum1/2, delwave, nspa, nspb
+                                                  [rrtmg_lw_init.f90:215-228]
+  * g-point reduction maps  ngc/ngs/ngm/ngn/ngb, wt
+                                                  [rrtmg_lw_init.f90:325-380]
+  * cloud optics tables     absice0/1/2/3, absliq1, abscld1, absliq0
+                                                  [rrtmg_lw_init.f90:2037-2675]
+
+These are *data* (model physics coefficients), extracted rather than
+re-typed so they match the reference bit-for-bit.
+
+Usage:  python tools/build_assets.py [--reference /root/reference]
+"""
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from rrtmg_lw_tpu.data.fparse import FortranArrays, strip_fortran  # noqa: E402
+
+
+def build_static_tables(ref: pathlib.Path) -> dict:
+    setcoef = strip_fortran((ref / "src/rrtmg_lw_setcoef.f90").read_text())
+    init = strip_fortran((ref / "src/rrtmg_lw_init.f90").read_text())
+
+    fa = FortranArrays()
+    fa.declare("pref", [(1, 59)])
+    fa.declare("preflog", [(1, 59)])
+    fa.declare("tref", [(1, 59)])
+    fa.declare("chi_mls", [(1, 7), (1, 59)])
+    fa.declare("totplnk", [(1, 181), (1, 16)])
+    fa.declare("totplk16", [(1, 181)])
+    fa.declare("totplnkderiv", [(1, 181), (1, 16)])
+    fa.declare("totplk16deriv", [(1, 181)])
+    fa.fill_from(setcoef)
+
+    fb = FortranArrays()
+    fb.declare("wavenum1", [(1, 16)])
+    fb.declare("wavenum2", [(1, 16)])
+    fb.declare("delwave", [(1, 16)])
+    fb.declare("ng", [(1, 16)])
+    fb.declare("nspa", [(1, 16)])
+    fb.declare("nspb", [(1, 16)])
+    fb.declare("ngc", [(1, 16)])
+    fb.declare("ngs", [(1, 16)])
+    fb.declare("ngm", [(1, 256)])
+    fb.declare("ngn", [(1, 140)])
+    fb.declare("ngb", [(1, 140)])
+    fb.declare("wt", [(1, 16)])
+    fb.declare("absice0", [(1, 2)])
+    fb.declare("absice1", [(1, 2), (1, 5)])
+    fb.declare("absice2", [(1, 43), (1, 16)])
+    fb.declare("absice3", [(1, 46), (1, 16)])
+    fb.declare("absliq1", [(1, 58), (1, 16)])
+    fb.fill_from(init)
+    fb.fill_from(init, names=["abscld1", "absliq0"])
+
+    out = {}
+    for k in ("pref", "preflog", "tref", "chi_mls", "totplnk", "totplk16",
+              "totplnkderiv", "totplk16deriv"):
+        out[k] = fa.get(k)
+    for k in ("wavenum1", "wavenum2", "delwave", "ng", "nspa", "nspb",
+              "ngc", "ngs", "ngm", "ngn", "ngb", "wt",
+              "absice0", "absice1", "absice2", "absice3", "absliq1"):
+        out[k] = fb.get(k)
+    out["abscld1"] = np.float64(fb.scalars["abscld1"])
+    out["absliq0"] = np.float64(fb.scalars["absliq0"])
+
+    for k in ("ng", "nspa", "nspb", "ngc", "ngs", "ngm", "ngn", "ngb"):
+        out[k] = out[k].astype(np.int32)
+
+    # sanity: consistency with parrrtm.f90 / rrlw_wvn.f90 contracts
+    assert out["ngc"].sum() == 140 and out["ngs"][-1] == 140
+    assert out["ngn"].sum() == 256
+    assert np.all(np.diff(out["totplnk"], axis=0) > 0), "totplnk not monotonic"
+    assert abs(out["wt"].sum() - 1.0) < 1e-6
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    ref = pathlib.Path(args.reference)
+    out_path = pathlib.Path(args.out) if args.out else (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "rrtmg_lw_tpu/assets/static_tables.npz")
+
+    tables = build_static_tables(ref)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out_path, **tables)
+    total = sum(v.size for v in tables.values() if hasattr(v, "size"))
+    print(f"wrote {out_path} ({len(tables)} arrays, {total} values)")
+
+
+if __name__ == "__main__":
+    main()
