@@ -1,0 +1,176 @@
+"""The flagship model: batched longwave radiative transfer.
+
+TPU-native equivalent of the reference GCM entry point ``rrtmg_lw``
+(rrtmg_lw_rad.f90:99-595, McICA) and ``rrtmg_lw_rad.nomcica.f90`` (the
+deterministic rtrn/rtrnmr paths).  The reference's serial
+``do iplon = 1, ncol`` column loop (rrtmg_lw_rad.f90:486) becomes a
+batched, jit-compiled pipeline over a column axis that can be sharded
+across a device mesh (see rrtmg_lw_tpu.parallel).
+
+Pipeline per step (all stages batched over columns):
+  inatm -> cldprmc/cldprop -> setcoef -> taumol -> (+aerosol) -> rtrn*
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LWConfig
+from ..constants import heatfac
+from ..data import ktables as kt
+from ..ops import cldprop as cld_ops
+from ..ops import rtrn as rt
+from ..ops import rtrnmr as rtmr
+from ..ops.inatm import inatm
+from ..ops.setcoef import setcoef
+from ..ops.tables import build_lookup_tables
+from ..ops.taumol import TaumolEngine
+from ..types import Atmosphere, BandClouds, Fluxes, McicaClouds, Profile
+
+
+class RRTMGLW:
+    """Holds the static k-tables / lookup tables and exposes jittable
+    flux computations."""
+
+    def __init__(self, config: LWConfig = LWConfig(),
+                 ktables: Optional[dict] = None):
+        self.config = config
+        dtype = config.jdtype
+        self.static_np = kt.load_static()
+        if ktables is None:
+            ktables, self.is_real_kdata = kt.load_ktables()
+        else:
+            self.is_real_kdata = True
+        self.engine = TaumolEngine(ktables, self.static_np, dtype=dtype)
+        luts_np = build_lookup_tables()
+        self.luts = {
+            "tau_tbl": jnp.asarray(luts_np.tau_tbl, dtype),
+            "exp_tbl": jnp.asarray(luts_np.exp_tbl, dtype),
+            "tfn_tbl": jnp.asarray(luts_np.tfn_tbl, dtype),
+        }
+        self.static = dict(self.static_np)
+        for k in ("totplnk", "totplk16", "totplnkderiv", "totplk16deriv",
+                  "preflog", "tref", "chi_mls"):
+            self.static[k] = jnp.asarray(self.static_np[k], dtype)
+        self.heatfac = heatfac(config.cpdair)
+        self.ngb0 = np.asarray(self.static_np["ngb"]) - 1   # band of g
+
+    # ------------------------------------------------------------------
+    def optical_depth(self, prof: Profile, istart: int = 1):
+        """setcoef + taumol: per-g-point optical depth & Planck fractions."""
+        sc = setcoef(prof, self.static, istart=istart,
+                     idrv=self.config.idrv)
+        taug, fracs = self.engine(sc, prof)
+        taut = taug + prof.taua[..., self.ngb0]
+        return sc, taut, fracs
+
+    # ------------------------------------------------------------------
+    def _gselect(self):
+        cfg = self.config
+        gsel = np.nonzero((self.ngb0 >= cfg.istart - 1)
+                          & (self.ngb0 <= cfg.iend - 1))[0]
+        return gsel
+
+    def __call__(self, atm: Atmosphere,
+                 clouds: Union[None, McicaClouds, BandClouds] = None
+                 ) -> Fluxes:
+        cfg = self.config
+        dtype = cfg.jdtype
+        prof = inatm(atm, dtype=dtype)
+        return self.from_profile(prof, clouds)
+
+    def from_profile(self, prof: Profile,
+                     clouds: Union[None, McicaClouds, BandClouds] = None
+                     ) -> Fluxes:
+        """Run the radiation from an already-processed Profile (column
+        mode enters here)."""
+        cfg = self.config
+        dtype = cfg.jdtype
+        B, L = prof.pavel.shape
+
+        sc, taut, fracs = self.optical_depth(prof, istart=cfg.istart)
+
+        gsel = self._gselect()
+        if len(gsel) != taut.shape[-1]:
+            taut = taut[..., gsel]
+            fracs = fracs[..., gsel]
+
+        common = dict(static=self.static_np, luts=self.luts,
+                      use_lut=cfg.use_lut, idrv=cfg.idrv,
+                      heatfac_val=self.heatfac, istart=cfg.istart,
+                      iend=cfg.iend)
+
+        if cfg.icld == 0 or clouds is None:
+            zero_g = jnp.zeros(taut.shape, dtype)
+            out = rt.rt_random_overlap(
+                taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                zero_g, zero_g,
+                cloudy_lay=jnp.zeros((B, L), bool),
+                cld_gate=jnp.zeros(taut.shape, bool), **common)
+        elif cfg.imca == 1:
+            assert isinstance(clouds, McicaClouds)
+            taucmc, _ = cld_ops.cldprmc(
+                clouds, self.static_np, inflag=cfg.inflag,
+                iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+            cldf_g = clouds.cldfmc[..., gsel]
+            odcld_g = taucmc[..., gsel]
+            gate = cldf_g == 1.0
+            out = rt.rt_random_overlap(
+                taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                cldf_g, odcld_g,
+                cloudy_lay=jnp.any(gate, axis=-1), cld_gate=gate, **common)
+        else:
+            assert isinstance(clouds, BandClouds)
+            taucloud, _ = cld_ops.cldprop(
+                clouds, self.static_np, inflag=cfg.inflag,
+                iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+            odcld_g = taucloud[..., self.ngb0][..., gsel]
+            if cfg.icld == 1:
+                cldf_g = jnp.broadcast_to(
+                    clouds.cldfrac[..., None], taut.shape)
+                cloudy = clouds.cldfrac >= 1.0e-6
+                gate = jnp.broadcast_to(cloudy[..., None], taut.shape)
+                out = rt.rt_random_overlap(
+                    taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                    sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                    cldf_g, odcld_g,
+                    cloudy_lay=cloudy, cld_gate=gate, **common)
+            else:
+                out = rtmr.rt_maxrandom(
+                    taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                    sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                    clouds.cldfrac, odcld_g, **common)
+
+        uflx, dflx = out.totuflux, out.totdflux
+        duflx_dt = out.dtotuflux_dt
+        duflxc_dt = out.dtotuclfl_dt
+        if cfg.idrv and prof.dtbound is not None:
+            # column-mode dtbound flux adjustment (rrtmg_lw.1col.f90:587-610)
+            dtb = prof.dtbound[:, None]
+            uflx = uflx + duflx_dt * dtb
+            uflxc = out.totuclfl + duflxc_dt * dtb
+            fnet = uflx - dflx
+            fnetc = uflxc - out.totdclfl
+            dp = prof.pz[:, :-1] - prof.pz[:, 1:]
+            htr = self.heatfac * (fnet[:, :-1] - fnet[:, 1:]) / dp
+            htrc = self.heatfac * (fnetc[:, :-1] - fnetc[:, 1:]) / dp
+            return Fluxes(uflx, dflx, htr, uflxc, out.totdclfl, htrc,
+                          duflx_dt, duflxc_dt)
+        return Fluxes(uflx, dflx, out.htr, out.totuclfl, out.totdclfl,
+                      out.htrc, duflx_dt, duflxc_dt)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jitted_call(model, atm, clouds):
+    return model(atm, clouds)
+
+
+def make_model(config: LWConfig = LWConfig(), **kw) -> RRTMGLW:
+    return RRTMGLW(config, **kw)

@@ -1,0 +1,144 @@
+"""Cloud optical depths (per band and per g-point / McICA).
+
+Vectorized equivalents of ``cldprop`` (rrtmg_lw_cldprop.f90:50-295) and
+``cldprmc`` (rrtmg_lw_cldprmc.f90:51-273).
+
+Parameterizations (selected by static inflag/iceflag/liqflag):
+  ice: 0 CCM3 (absice0), 1 Ebert-Curry 5-region (absice1),
+       2 Key/Streamer (absice2, 43x16), 3 Fu generalized size (absice3,
+       46x16)
+  liq: 0 CCM3 constant (absliq0), 1 Hu & Stamnes (absliq1, 58x16)
+
+The reference hard-stops on out-of-range particle sizes
+(cldprmc.f90:204-253); inside jit we clamp instead and return a boolean
+``bounds_ok`` diagnostic.
+
+Instead of the reference's (ncbands, ipat) indirection we always expand
+cloud optical depth to the 16 real bands here (composing the icb band
+mapping), which is numerically identical and removes the runtime-valued
+``ncbands`` from the RT hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import BandClouds, McicaClouds
+
+CLDMIN = 1.0e-20
+
+# Ebert & Curry 5-region -> RRTM band mapping (cldprmc.f90:164)
+ICB = np.array([1, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5, 5, 5, 5, 5, 5]) - 1
+
+
+def _ice_liq_coeffs(reic, relq, iceflag, liqflag, tables, dtype):
+    """Per-band ice/liquid absorption coefficients, (B, L, 16) each,
+    plus a bounds-ok flag (B, L)."""
+    absice0 = jnp.asarray(tables["absice0"], dtype)
+    absice1 = jnp.asarray(tables["absice1"], dtype)      # (2, 5)
+    absice2 = jnp.asarray(tables["absice2"], dtype)      # (43, 16)
+    absice3 = jnp.asarray(tables["absice3"], dtype)      # (46, 16)
+    absliq1 = jnp.asarray(tables["absliq1"], dtype)      # (58, 16)
+    absliq0 = float(tables["absliq0"])
+
+    ok = jnp.ones(reic.shape, bool)
+    if iceflag == 0:
+        ok &= reic >= 10.0
+        coef = absice0[0] + absice0[1] / jnp.maximum(reic, 10.0)
+        abscoice = jnp.broadcast_to(coef[..., None], reic.shape + (16,))
+    elif iceflag == 1:
+        ok &= (reic >= 13.0) & (reic <= 130.0)
+        r = jnp.clip(reic, 13.0, 130.0)
+        per_region = absice1[0][None, None, :] + \
+            absice1[1][None, None, :] / r[..., None]     # (B, L, 5)
+        abscoice = per_region[..., ICB]                  # -> (B, L, 16)
+    elif iceflag in (2, 3):
+        tab = absice2 if iceflag == 2 else absice3
+        rmax = 131.0 if iceflag == 2 else 140.0
+        nmax = 43 if iceflag == 2 else 46
+        ok &= (reic >= 5.0) & (reic <= rmax)
+        factor = (reic - 2.0) / 3.0
+        index = factor.astype(jnp.int32)                 # 1-based in ref
+        index = jnp.where(index == nmax, nmax - 1, index)
+        index = jnp.clip(index, 1, nmax - 1)
+        fint = factor - index.astype(dtype)
+        lo = jnp.take(tab, index - 1, axis=0)
+        hi = jnp.take(tab, index, axis=0)
+        abscoice = lo + fint[..., None] * (hi - lo)
+    else:
+        raise ValueError(f"iceflag {iceflag}")
+
+    if liqflag == 0:
+        abscoliq = jnp.full(relq.shape + (16,), absliq0, dtype)
+    elif liqflag == 1:
+        ok &= (relq >= 2.5) & (relq <= 60.0)
+        index = (relq - 1.5).astype(jnp.int32)
+        index = jnp.where(index == 0, 1, index)
+        index = jnp.where(index == 58, 57, index)
+        index = jnp.clip(index, 1, 57)
+        fint = relq - 1.5 - index.astype(dtype)
+        lo = jnp.take(absliq1, index - 1, axis=0)
+        hi = jnp.take(absliq1, index, axis=0)
+        abscoliq = lo + fint[..., None] * (hi - lo)
+    else:
+        raise ValueError(f"liqflag {liqflag}")
+    return abscoice, abscoliq, ok
+
+
+def cldprmc(clouds: McicaClouds, tables: dict, *, inflag: int,
+            iceflag: int, liqflag: int):
+    """McICA per-g-point cloud optical depth. Returns (taucmc, bounds_ok)."""
+    dtype = clouds.taucmc.dtype
+    if inflag == 0:
+        return clouds.taucmc, jnp.ones(clouds.reicmc.shape, bool)
+    if inflag == 1:
+        raise ValueError("INFLAG=1 not available with McICA "
+                         "(cldprmc.f90:191)")
+    abscoice_b, abscoliq_b, ok = _ice_liq_coeffs(
+        clouds.reicmc, clouds.relqmc, iceflag, liqflag, tables, dtype)
+    ngb = np.asarray(tables["ngb"]) - 1                 # band of g, 0-based
+    abscoice = abscoice_b[..., ngb]                     # (B, L, 140)
+    abscoliq = abscoliq_b[..., ngb]
+    abscoice = jnp.where(clouds.ciwpmc == 0.0, 0.0, abscoice)
+    abscoliq = jnp.where(clouds.clwpmc == 0.0, 0.0, abscoliq)
+    cwp = clouds.ciwpmc + clouds.clwpmc
+    active = (clouds.cldfmc >= CLDMIN) & (
+        (cwp >= CLDMIN) | (clouds.taucmc >= CLDMIN))
+    taucmc = jnp.where(
+        active,
+        clouds.ciwpmc * abscoice + clouds.clwpmc * abscoliq,
+        clouds.taucmc)
+    return taucmc, ok
+
+
+def cldprop(clouds: BandClouds, tables: dict, *, inflag: int,
+            iceflag: int, liqflag: int):
+    """Per-band cloud optical depth expanded to the 16 real bands.
+
+    Returns (taucloud (B, L, 16), bounds_ok (B, L)).
+    """
+    dtype = clouds.tauc.dtype
+    cwp = clouds.ciwp + clouds.clwp
+    tauctot = clouds.tauc.sum(axis=-1)
+    active = (clouds.cldfrac >= CLDMIN) & (
+        (cwp >= CLDMIN) | (tauctot >= CLDMIN))
+
+    if inflag == 0:
+        taucloud = jnp.where(active[..., None], clouds.tauc, 0.0)
+        return taucloud, jnp.ones(clouds.cldfrac.shape, bool)
+    if inflag == 1:
+        abscld1 = float(tables["abscld1"])
+        taucloud = jnp.where(active[..., None],
+                             (abscld1 * cwp)[..., None]
+                             * jnp.ones((16,), dtype), 0.0)
+        return taucloud, jnp.ones(clouds.cldfrac.shape, bool)
+
+    abscoice, abscoliq, ok = _ice_liq_coeffs(
+        clouds.reic, clouds.relq, iceflag, liqflag, tables, dtype)
+    abscoice = jnp.where(clouds.ciwp[..., None] == 0.0, 0.0, abscoice)
+    abscoliq = jnp.where(clouds.clwp[..., None] == 0.0, 0.0, abscoliq)
+    taucloud = (clouds.ciwp[..., None] * abscoice
+                + clouds.clwp[..., None] * abscoliq)
+    taucloud = jnp.where(active[..., None], taucloud, 0.0)
+    return taucloud, ok
