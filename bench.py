@@ -1,0 +1,87 @@
+"""Throughput benchmark: columns/sec for the batched LW radiation step.
+
+Runs the flagship pipeline (clear-sky and McICA cloudy-sky) on whatever
+backend JAX provides (one real TPU chip under the driver) and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no speed numbers (BASELINE.md) — its column loop
+is serial Fortran.  vs_baseline is measured against the recorded
+first-round value in bench_baseline.json when present, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = pathlib.Path(__file__).resolve().parent
+
+
+def _bench_one(step, args, iters):
+    out = step(*args)                      # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from rrtmg_lw_tpu import LWConfig, make_model
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_mcica_clouds)
+
+    platform = jax.default_backend()
+    ncol = int(os.environ.get("BENCH_NCOLS",
+                              4096 if platform == "tpu" else 256))
+    nlay = int(os.environ.get("BENCH_NLAY", 60))
+    iters = int(os.environ.get("BENCH_ITERS",
+                               10 if platform == "tpu" else 3))
+    dtype = jnp.float32
+
+    atm = make_atmosphere(ncol=ncol, nlay=nlay, dtype=dtype)
+    clouds = make_mcica_clouds(ncol=ncol, nlay=nlay, dtype=dtype)
+
+    # clear-sky step
+    clr_model = make_model(LWConfig(icld=0, dtype="float32",
+                                    use_lut=False))
+    clr_step = jax.jit(lambda a: clr_model(a, None))
+    t_clr = _bench_one(clr_step, (atm,), iters)
+
+    # McICA cloudy step
+    cld_model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
+                                    use_lut=False))
+    cld_step = jax.jit(lambda a, c: cld_model(a, c))
+    t_cld = _bench_one(cld_step, (atm, clouds), iters)
+
+    cols_per_sec = 2.0 * ncol / (t_clr + t_cld)
+
+    base_path = REPO / "bench_baseline.json"
+    vs = 1.0
+    if base_path.exists():
+        try:
+            base = json.loads(base_path.read_text())
+            ref = float(base.get(platform, base.get("value", 0.0)))
+            if ref > 0:
+                vs = cols_per_sec / ref
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": f"columns_per_sec_{platform}_clr+mcica_nlay{nlay}",
+        "value": round(cols_per_sec, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,9 @@ class RRTMGLW:
             self.static[k] = jnp.asarray(self.static_np[k], dtype)
         self.heatfac = heatfac(config.cpdair)
         self.ngb0 = np.asarray(self.static_np["ngb"]) - 1   # band of g
+        # Optional NamedSharding for the (B, L, G) spectral intermediates;
+        # set by parallel.api to partition g-points across a mesh axis.
+        self.spec_constraint = None
 
     # ------------------------------------------------------------------
     def optical_depth(self, prof: Profile, istart: int = 1):
@@ -94,6 +97,11 @@ class RRTMGLW:
         B, L = prof.pavel.shape
 
         sc, taut, fracs = self.optical_depth(prof, istart=cfg.istart)
+        if self.spec_constraint is not None:
+            taut = jax.lax.with_sharding_constraint(
+                taut, self.spec_constraint)
+            fracs = jax.lax.with_sharding_constraint(
+                fracs, self.spec_constraint)
 
         gsel = self._gselect()
         if len(gsel) != taut.shape[-1]:

@@ -1,0 +1,110 @@
+"""Deterministic synthetic inputs (atmospheres, clouds) for tests/benchmarks.
+
+These are physically-plausible analytic profiles — NOT the reference's
+standard atmospheres (those live in the column-mode RRTATM port,
+rrtmg_lw_tpu.io.atmospheres). They exist so every part of the framework
+can be exercised end-to-end without external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..types import Atmosphere, BandClouds, McicaClouds
+
+
+def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64):
+    """A smooth, physically-plausible batch of mid-latitude-ish columns."""
+    rng = np.random.default_rng(seed)
+    # sigma-coordinate pressure levels, surface ~1013 mb to ~0.03 mb
+    lev = np.linspace(0, 1, nlay + 1)
+    plev = 1013.0 * np.exp(-10.5 * lev ** 1.15)
+    plev = np.maximum(plev, 0.03)
+    plev = np.broadcast_to(plev, (ncol, nlay + 1)).copy()
+    plev *= (1.0 + 0.02 * rng.standard_normal((ncol, 1)))
+    play = 0.5 * (plev[:, :-1] + plev[:, 1:])
+
+    # temperature: lapse to tropopause at ~12 km, warming stratosphere
+    z = -7.0 * np.log(play / plev[:, :1])
+    tsfc = 288.0 + 5.0 * rng.standard_normal(ncol)
+    tlay = np.where(z < 12.0, tsfc[:, None] - 6.5 * z,
+                    np.where(z < 20.0, tsfc[:, None] - 6.5 * 12.0,
+                             tsfc[:, None] - 78.0 + 1.5 * (z - 20.0)))
+    tlay = np.clip(tlay, 180.0, 320.0)
+    zlev = -7.0 * np.log(plev / plev[:, :1])
+    tlev = np.where(zlev < 12.0, tsfc[:, None] - 6.5 * zlev,
+                    np.where(zlev < 20.0, tsfc[:, None] - 6.5 * 12.0,
+                             tsfc[:, None] - 78.0 + 1.5 * (zlev - 20.0)))
+    tlev = np.clip(tlev, 180.0, 320.0)
+
+    h2o = 0.02 * (play / 1013.0) ** 3 + 3e-6
+    o3 = 1e-6 * np.exp(-((np.log(play) - np.log(10.0)) ** 2) / 2.0) + 1e-8
+
+    ones = np.ones_like(play)
+
+    def arr(x):
+        return jnp.asarray(x, dtype)
+
+    return Atmosphere(
+        play=arr(play), plev=arr(plev), tlay=arr(tlay), tlev=arr(tlev),
+        tsfc=arr(tsfc),
+        h2ovmr=arr(h2o), co2vmr=arr(3.55e-4 * ones), o3vmr=arr(o3),
+        n2ovmr=arr(3.2e-7 * ones), covmr=arr(1.5e-7 * ones),
+        ch4vmr=arr(1.7e-6 * ones), o2vmr=arr(0.209 * ones),
+        cfc11vmr=arr(2.6e-10 * ones), cfc12vmr=arr(5.4e-10 * ones),
+        cfc22vmr=arr(1.0e-10 * ones), ccl4vmr=arr(1.0e-10 * ones),
+        emis=arr(np.full((ncol, 16), 0.95)),
+        tauaer=arr(np.zeros((ncol, nlay, 16))),
+    )
+
+
+def make_band_clouds(ncol=4, nlay=51, seed=1, dtype=jnp.float64):
+    """A plausible two-deck per-band cloud state (non-McICA paths)."""
+    rng = np.random.default_rng(seed)
+    cldfrac = np.zeros((ncol, nlay))
+    ciwp = np.zeros((ncol, nlay))
+    clwp = np.zeros((ncol, nlay))
+    lo = 3 + rng.integers(0, 3, ncol)
+    hi = nlay // 2 + rng.integers(0, 3, ncol)
+    for c in range(ncol):
+        cldfrac[c, lo[c]:lo[c] + 3] = 0.4 + 0.4 * rng.random()
+        clwp[c, lo[c]:lo[c] + 3] = 20.0 + 30.0 * rng.random()
+        cldfrac[c, hi[c]:hi[c] + 2] = 0.3 + 0.5 * rng.random()
+        ciwp[c, hi[c]:hi[c] + 2] = 10.0 + 20.0 * rng.random()
+
+    def arr(x):
+        return jnp.asarray(x, dtype)
+
+    return BandClouds(
+        cldfrac=arr(cldfrac), tauc=arr(np.zeros((ncol, nlay, 16))),
+        ciwp=arr(ciwp), clwp=arr(clwp),
+        reic=arr(np.full((ncol, nlay), 30.0)),
+        relq=arr(np.full((ncol, nlay), 10.0)))
+
+
+def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
+                      ngpt=140):
+    """A plausible binary per-g-point McICA cloud state (for tests/bench
+    that don't exercise the stochastic generator itself)."""
+    rng = np.random.default_rng(seed)
+    cldf = np.zeros((ncol, nlay, ngpt))
+    ciwp = np.zeros((ncol, nlay, ngpt))
+    clwp = np.zeros((ncol, nlay, ngpt))
+    lo = 3 + rng.integers(0, 3, ncol)
+    for c in range(ncol):
+        lays = slice(lo[c], lo[c] + 4)
+        mask = rng.random((4, ngpt)) < 0.6
+        cldf[c, lays] = mask
+        clwp[c, lays] = np.where(mask, 25.0 + 20.0 * rng.random(), 0.0)
+        ciwp[c, lays] = np.where(mask, 5.0 * rng.random(), 0.0)
+
+    def arr(x):
+        return jnp.asarray(x, dtype)
+
+    return McicaClouds(
+        cldfmc=arr(cldf), ciwpmc=arr(ciwp), clwpmc=arr(clwp),
+        taucmc=arr(np.zeros((ncol, nlay, ngpt))),
+        reicmc=arr(np.full((ncol, nlay), 30.0)),
+        relqmc=arr(np.full((ncol, nlay), 10.0)))
