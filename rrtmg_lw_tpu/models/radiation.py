@@ -46,6 +46,7 @@ class RRTMGLW:
             ktables, self.is_real_kdata = kt.load_ktables()
         else:
             self.is_real_kdata = True
+        self.ktables = ktables
         self.engine = TaumolEngine(ktables, self.static_np, dtype=dtype)
         luts_np = build_lookup_tables()
         self.luts = {

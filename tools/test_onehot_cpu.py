@@ -1,0 +1,33 @@
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T, R, D, C = 256, 65, 512, 1024
+
+def kern(idx_ref, tbl_ref, out_ref):
+    idx = idx_ref[0, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
+    W = jnp.where(iota == idx[:, None], 1.0, 0.0).astype(jnp.float32)
+    out_ref[:] = jnp.dot(W, tbl_ref[:], preferred_element_type=jnp.float32)
+
+def run(idx, tbl):
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, D), jnp.float32),
+        grid=(C // T,),
+        in_specs=[pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((R, D), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=True,
+    )(idx, tbl)
+
+rng = np.random.default_rng(0)
+idx = jnp.asarray(rng.integers(0, R, (1, C)), jnp.int32)
+tbl = jnp.asarray(rng.random((R, D)), jnp.float32)
+out = np.asarray(run(idx, tbl))
+ref = np.asarray(tbl)[np.asarray(idx)[0]]
+print("interpret ok:", np.array_equal(out, ref), np.abs(out-ref).max())
