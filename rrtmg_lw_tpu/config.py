@@ -35,6 +35,8 @@ class LWConfig:
     iend: int = 16         # last band
     use_lut: bool = True   # exp/tfn via 10k-entry tables (reference parity)
                            # False -> closed-form exp (faster on TPU)
+    taumol_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU
+                               # when dtype is float32)
     dtype: str = "float64" # compute dtype for the column physics
     cpdair: float = 1.004e3
 

@@ -48,6 +48,13 @@ class RRTMGLW:
             self.is_real_kdata = True
         self.ktables = ktables
         self.engine = TaumolEngine(ktables, self.static_np, dtype=dtype)
+        impl = config.taumol_impl
+        if impl == "auto":
+            impl = ("pallas" if (jax.default_backend() == "tpu"
+                                 and dtype == jnp.float32) else "xla")
+        if impl == "pallas":
+            from ..ops.taumol_pallas import PallasTaumol
+            self.engine = PallasTaumol(ktables, self.static_np)
         luts_np = build_lookup_tables()
         self.luts = {
             "tau_tbl": jnp.asarray(luts_np.tau_tbl, dtype),

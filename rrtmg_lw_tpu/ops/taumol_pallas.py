@@ -9,24 +9,27 @@ This kernel removes every gather by exploiting the index structure
 ``row = (jp*5 + jt)*nspa + js`` (rrtmg_lw_taumol.f90:563-564):
 
   * the (jp, jt) pair indexes only 65 (lower) / 235 (upper) slots, so
-    ``k(jp, jt)`` becomes a one-hot (T, 65) @ (65, D) matmul on the MXU
-    against a fused all-bands table whose columns hold, per band, the
-    temperature taps (t, t+1) x eta columns x g-points;
-  * the eta (js) taps, the self/foreign continuum (10/4 temperatures),
-    the minor-gas tables (19 temperatures) and the Planck-fraction eta
-    interpolation are narrow index spaces handled by either tiny
-    one-hot matmuls or compare-select sums on the VPU;
-  * reference-atmosphere chi values chi_mls(gas, jp+1) used by the
-    minor-gas over-abundance adjustments ride along as 7 extra table
-    columns, so they come out of the same matmul.
+    ``k(jp, jt)`` becomes a one-hot matmul on the MXU against a fused
+    all-bands table whose rows hold, per band, the temperature taps
+    (t, t+1) x eta columns x g-points;
+  * the eta (js) taps, self/foreign continuum (10/4 temperatures),
+    minor-gas tables (19 temperatures) and the Planck-fraction eta
+    interpolation are narrow index spaces handled by tiny one-hot
+    matmuls or compare-select sums on the VPU;
+  * chi_mls(gas, jp+1) (minor-gas over-abundance adjustments) rides
+    along as 7 extra table rows from the same matmul.
 
-Everything for a tile of T cells stays in VMEM; the only HBM traffic is
-the packed per-cell scalars in and (T, 140) taug/fracs out.  Numerics
-are bit-identical to the XLA engine in f32 (the one-hot matmul is an
-exact row selection; zero-weight taps contribute exact zeros).
+Layout: everything is computed TRANSPOSED — (g, cells) with the cell
+tile in the 128-lane dimension — so the hundreds of per-band vector
+ops run at full lane utilization (g-per-band is 2..16, which would
+waste 8x as lanes).  Per-band slices of the matmul results are padded
+to 8-row chunks so every sublane slice is aligned.  Everything for a
+tile of T cells stays in VMEM; HBM traffic is the packed per-cell
+scalars in and (140, T) taug/fracs blocks out.
 
-The reference's per-band split loops (lower/upper atmosphere at
-laytrop) become a mask select, as in the XLA engine.
+Numerics match the XLA engine to f32 rounding (the one-hot matmul is
+an exact row selection; zero-weight taps contribute exact zeros; the
+in-band accumulation order is preserved).
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Profile, SetcoefOut
 from .taumol import (BAND_SPECS, NG, NSPA, NSPB, _GAS_CHI, _eta_params,
-                     _spec_weights, Adj, Minor, RegionSpec)
+                     _spec_weights, Adj, RegionSpec)
 
 NBANDS = 16
 GOFS = tuple(int(x) for x in np.cumsum((0,) + NG))
@@ -58,54 +61,55 @@ F_FIELDS = (
     "rat_n2oco2", "rat_n2oco2_1", "rat_o3co2", "rat_o3co2_1",
 )
 I_FIELDS = ("jp", "jt", "jt1", "indself", "indfor", "indminor")
-# extra per-cell floats taken from Profile
 P_FIELDS = ("pavel", "coldry", "wx0", "wx1", "wx2", "wx3")
 NSF = len(F_FIELDS) + len(P_FIELDS)
 NSI = len(I_FIELDS) + 1          # + laytrop mask
 
 
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 class RegionTables(NamedTuple):
-    key: np.ndarray          # (R, Dk) fused key table (+7 chi cols)
-    selftab: np.ndarray      # (10, Ds) or None
-    fortab: np.ndarray       # (4, Df) or None
-    minortab: np.ndarray     # (19, Dm) or None
-    fractab: np.ndarray      # (9|5, Dfr) Planck fractions (flat in row 0)
-    cfctab: np.ndarray       # (1, Dc) CFC/CCl4 per-g vectors or None
-    key_ofs: dict            # band -> col offset into key
-    self_ofs: dict
+    keyT: np.ndarray         # (Dk, R) transposed fused key table (+chi)
+    selfT: np.ndarray        # (Ds, 10) or None
+    forT: np.ndarray         # (Df, 4) or None
+    minorT: np.ndarray       # (Dm, 19) or None
+    fracT: np.ndarray        # (Dfr, 9|5)
+    cfcT: np.ndarray         # (Dc, 1) or None
+    key_ofs: dict            # band -> (row offset, chunk stride)
+    self_ofs: dict           # band -> (offset, stride)
     for_ofs: dict
-    minor_ofs: dict          # (band, table) -> offset
+    minor_ofs: dict          # (band, table) -> (offset, stride, nk)
     frac_ofs: dict           # band -> (offset, nrow_eta or 0)
     cfc_ofs: dict            # (band, vec) -> offset
     chi_ofs: int
-
-
-def _key_block(packed: dict, band: int, lower: bool) -> np.ndarray:
-    """(P*5, 2*nsp*ng) block: rows (p, t); cols [k(t) | k(t+1)]."""
-    b = band
-    ng = NG[b - 1]
-    if lower:
-        nsp = max(NSPA[b - 1], 1)
-        k = packed["absa"].reshape(13, 5, nsp, ng)
-    else:
-        nsp = max(NSPB[b - 1], 1)
-        k = packed["absb"].reshape(47, 5, nsp, ng)
-    kt1 = k[:, [1, 2, 3, 4, 4], :, :]        # t+1 clamped at 4
-    blk = np.concatenate([k.reshape(k.shape[0], 5, -1),
-                          kt1.reshape(k.shape[0], 5, -1)], axis=-1)
-    return blk.reshape(k.shape[0] * 5, 2 * nsp * ng)
 
 
 def build_region_tables(ktables: dict, static: dict, lower: bool,
                         dtype=np.float32) -> RegionTables:
     P = 13 if lower else 47
     R = P * 5
-    key_cols, key_ofs = [], {}
-    self_cols, self_ofs = [], {}
-    for_cols, for_ofs = [], {}
-    minor_cols, minor_ofs = [], {}
-    dk = ds = df = dm = 0
     chi = np.asarray(static["chi_mls"], np.float64)      # (7, 59)
+    T1 = [1, 2, 3, 4, 4]                                 # t+1 clamped
+
+    key_rows, key_ofs = [], {}
+    self_rows, self_ofs = [], {}
+    for_rows, for_ofs = [], {}
+    minor_rows, minor_ofs = [], {}
+    frac_rows_l, frac_ofs = [], {}
+    cfc_rows, cfc_ofs = [], {}
+    frac_w = 9 if lower else 5
+
+    def add_chunks(dst, chunks, ng):
+        """Append ng-row chunks each padded to 8 rows; return offset."""
+        ofs = sum(c.shape[0] for c in dst)
+        stride = _pad8(ng)
+        for c in chunks:
+            padded = np.zeros((stride,) + c.shape[1:])
+            padded[:ng] = c
+            dst.append(padded)
+        return ofs, stride
 
     for bs in BAND_SPECS:
         b = bs.band
@@ -113,105 +117,98 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
         t = ktables[f"b{b:02d}"]
         ng = NG[b - 1]
         if spec.key1 is not None and not spec.zero:
-            blk = _key_block(t, b, lower)
-            key_ofs[b] = dk
-            dk += blk.shape[1]
-            key_cols.append(blk)
+            nsp = max((NSPA if lower else NSPB)[b - 1], 1)
+            k = np.asarray(t["absa" if lower else "absb"],
+                           np.float64).reshape(P, 5, nsp, ng)
+            chunks = []
+            for tap in (0, 1):
+                kk = k if tap == 0 else k[:, T1]
+                for s in range(nsp):
+                    # (ng, R): column r = p*5+t
+                    chunks.append(kk[:, :, s, :].transpose(2, 0, 1)
+                                  .reshape(ng, R))
+            key_ofs[b] = add_chunks(key_rows, chunks, ng)
         if spec.tauself and not spec.zero:
             s = np.asarray(t["selfref"], np.float64)      # (10, ng)
-            s1 = np.concatenate([s, np.vstack([s[1:], s[-1:]])], axis=1)
-            self_ofs[b] = ds
-            ds += 2 * ng
-            self_cols.append(s1)
+            self_ofs[b] = add_chunks(
+                self_rows, [s.T, s[list(range(1, 10)) + [9]].T], ng)
         if spec.taufor and not spec.zero:
             f = np.asarray(t["forref"], np.float64)       # (4, ng)
-            f1 = np.concatenate([f, np.vstack([f[1:], f[-1:]])], axis=1)
-            for_ofs[b] = df
-            df += 2 * ng
-            for_cols.append(f1)
+            for_ofs[b] = add_chunks(
+                for_rows, [f.T, f[[1, 2, 3, 3]].T], ng)
         for m in spec.minors:
             tab = np.asarray(t[m.table], np.float64)
-            if tab.ndim == 3:                             # (19, nk, ng)
-                flat = tab.reshape(19, -1)
-            else:                                         # (19, ng)
-                flat = tab
-            nxt = np.vstack([flat[1:], flat[-1:]])        # ind+1 clamp 18
-            blk = np.concatenate([flat, nxt], axis=1)
-            minor_ofs[(b, m.table)] = dm
-            dm += blk.shape[1]
-            minor_cols.append(blk)
-
-    # Planck-fraction + CFC packing
-    frac_rows = 9 if lower else 5
-    frac_cols, frac_ofs = [], {}
-    cfc_cols, cfc_ofs = [], {}
-    dfr = dc = 0
-    for bs in BAND_SPECS:
-        b = bs.band
-        spec = bs.lower if lower else bs.upper
-        t = ktables[f"b{b:02d}"]
-        ng = NG[b - 1]
+            if tab.ndim == 2:
+                tab = tab[:, None, :]                     # (19, 1, ng)
+            nk = tab.shape[1]
+            i1 = list(range(1, 19)) + [18]
+            chunks = []
+            for tap in (0, 1):
+                tt = tab if tap == 0 else tab[i1]
+                for kk in range(nk):
+                    chunks.append(tt[:, kk, :].T)         # (ng, 19)
+            ofs, stride = add_chunks(minor_rows, chunks, ng)
+            minor_ofs[(b, m.table)] = (ofs, stride, nk)
         if not spec.zero:
             ftab = np.asarray(t[spec.frac], np.float64)
             if spec.frac_eta is not None:
-                blk = np.zeros((frac_rows, ng))
-                blk[:ftab.shape[0]] = ftab
-                frac_ofs[b] = (dfr, ftab.shape[0])
+                blk = np.zeros((ng, frac_w))
+                blk[:, :ftab.shape[0]] = ftab.T
+                frac_ofs[b] = (add_chunks(frac_rows_l, [blk], ng)[0],
+                               ftab.shape[0])
             else:
-                blk = np.broadcast_to(ftab, (frac_rows, ng)).copy()
-                frac_ofs[b] = (dfr, 0)
-            dfr += ng
-            frac_cols.append(blk)
+                blk = np.broadcast_to(ftab[:, None], (ng, frac_w)).copy()
+                frac_ofs[b] = (add_chunks(frac_rows_l, [blk], ng)[0], 0)
         for wx_i, vec in spec.cfcs:
-            cfc_ofs[(b, vec)] = dc
-            dc += ng
-            cfc_cols.append(np.asarray(t[vec], np.float64)[None, :])
+            v = np.asarray(t[vec], np.float64)[:, None]   # (ng, 1)
+            cfc_ofs[(b, vec)] = add_chunks(cfc_rows, [v], ng)[0]
 
-    # chi columns: chi_mls(gas, p+1) for lower rows p (jp+1 via W0);
-    # for upper rows p' the needed index is p'+13 (= jp+1).
+    # chi rows: chi_mls(gas, jp+1): lower row r -> p = r//5, idx p+1;
+    # upper: idx p+13
     prow = np.repeat(np.arange(P), 5)
-    chi_idx = (prow + 1) if lower else (prow + 13)
-    chi_idx = np.clip(chi_idx, 0, 58)
-    chi_blk = chi[:, chi_idx].T                          # (R, 7)
+    chi_idx = np.clip((prow + 1) if lower else (prow + 13), 0, 58)
+    chi_blk = chi[:, chi_idx]                             # (7, R)
+    chi_ofs = sum(c.shape[0] for c in key_rows)
+    chi_pad = np.zeros((8, R))
+    chi_pad[:7] = chi_blk
+    key_rows.append(chi_pad)
 
-    key = np.concatenate(key_cols + [chi_blk], axis=1) if key_cols \
-        else chi_blk
-    chi_ofs = key.shape[1] - 7
-    pack = lambda cols: (np.concatenate(cols, axis=1).astype(dtype)
-                         if cols else None)
+    def pack(rows):
+        return (np.concatenate(rows, axis=0).astype(dtype)
+                if rows else None)
+
     return RegionTables(
-        key=key.astype(dtype), selftab=pack(self_cols),
-        fortab=pack(for_cols), minortab=pack(minor_cols),
-        fractab=pack(frac_cols), cfctab=pack(cfc_cols),
+        keyT=pack(key_rows), selfT=pack(self_rows), forT=pack(for_rows),
+        minorT=pack(minor_rows), fracT=pack(frac_rows_l),
+        cfcT=pack(cfc_rows),
         key_ofs=key_ofs, self_ofs=self_ofs, for_ofs=for_ofs,
         minor_ofs=minor_ofs, frac_ofs=frac_ofs, cfc_ofs=cfc_ofs,
         chi_ofs=chi_ofs)
 
 
-def _onehot(r, R, dtype):
-    T = r.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
-    return jnp.where(iota == r[:, None], 1.0, 0.0).astype(dtype)
+def _onehot_T(r, R, dtype):
+    """(R, T) one-hot from r (1, T)."""
+    T = r.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+    return jnp.where(iota == r, 1.0, 0.0).astype(dtype)
 
 
-def _dot(W, tbl):
-    return jnp.dot(W, tbl, preferred_element_type=jnp.float32,
+def _dot(tbl, W):
+    return jnp.dot(tbl, W, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
 
 class _Ctx(NamedTuple):
-    """Per-tile vectors and matmul results available to band evaluation."""
-    sf: dict                 # name -> (T,) float vector
-    si: dict                 # name -> (T,) int vector
-    M0: jnp.ndarray          # (T, Dk) key matmul at (jp, jt)
-    M1: jnp.ndarray          # (T, Dk) key matmul at (jp+1, jt1)
-    Ms: jnp.ndarray          # (T, Ds) self at indself
-    Mf: jnp.ndarray          # (T, Df) foreign at indfor
-    Mm: jnp.ndarray          # (T, Dm) minor at indminor
-    Fr: jnp.ndarray          # (9|5, Dfr) Planck-fraction table
-    Cf: jnp.ndarray          # (1, Dc) CFC vectors
+    sf: dict                 # name -> (1, T) float row
+    si: dict                 # name -> (1, T) int row
+    M0: jnp.ndarray          # (Dk, T) key matmul at (jp, jt)
+    M1: jnp.ndarray          # (Dk, T) key matmul at (jp+1, jt1)
+    Ms: jnp.ndarray          # (Ds, T) self at indself
+    Mf: jnp.ndarray          # (Df, T) foreign at indfor
+    Mm: jnp.ndarray          # (Dm, T) minor at indminor
+    Fr: object               # fracT ref
+    Cf: object               # cfcT ref
     tabs: RegionTables
-    chi_row: jnp.ndarray     # (T, 7) chi_mls(:, jp+1)
 
 
 def _col(ctx: _Ctx, gas: str):
@@ -224,7 +221,9 @@ def _adjusted_col(ctx: _Ctx, adj: Adj, dtype):
     if adj.chi_const is not None:
         chiref = jnp.full_like(chi_gas, adj.chi_const)
     else:
-        chiref = ctx.chi_row[:, _GAS_CHI[adj.gas] - 1]
+        m = _GAS_CHI[adj.gas] - 1
+        o = ctx.tabs.chi_ofs
+        chiref = ctx.M1[o + m: o + m + 1, :]
     ratio = 1.0e20 * chi_gas / chiref
     adjfac = adj.base + jnp.maximum(ratio - adj.base, 0.0) ** adj.expnt
     adjcol = adjfac * chiref * ctx.sf["coldry"] * 1.0e-20
@@ -232,7 +231,7 @@ def _adjusted_col(ctx: _Ctx, adj: Adj, dtype):
 
 
 def _eta_weights(js0, fs, specparm, nsp, two_key_low, dtype):
-    """Per-eta-column weights ws[s] (list of (T,) vectors)."""
+    """Per-eta-column weights ws[s] (list of (1, T) rows)."""
     if nsp == 1:
         return [jnp.ones_like(fs)]
     if two_key_low:
@@ -251,11 +250,11 @@ def _eta_weights(js0, fs, specparm, nsp, two_key_low, dtype):
 
 
 def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
-                 ktabs_np: dict, dtype):
-    """taug, fracs (T, ng) for one band region."""
+                 chi_np: np.ndarray, dtype):
+    """taug, fracs (ng, T) for one band region (transposed layout)."""
     ng = NG[b - 1]
-    T = ctx.sf["fac00"].shape[0]
-    zero = jnp.zeros((T, ng), dtype)
+    T = ctx.sf["fac00"].shape[1]
+    zero = jnp.zeros((ng, T), dtype)
     if spec.zero:
         return zero, zero
 
@@ -272,8 +271,8 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
             rat0 = sf["rat_" + spec.rat]
             rat1 = sf["rat_" + spec.rat + "_1"]
             colk2 = _col(ctx, spec.key2)
-            speccomb, specparm, js0, fs = _eta_params(colk1, colk2, rat0,
-                                                      scale)
+            speccomb, specparm, js0, fs = _eta_params(colk1, colk2,
+                                                      rat0, scale)
             speccomb1, specparm1, js1, fs1 = _eta_params(colk1, colk2,
                                                          rat1, scale)
         else:
@@ -286,33 +285,32 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
         ws0 = _eta_weights(js0, fs, specparm, nspc, two_low, dtype)
         ws1 = _eta_weights(js1, fs1, specparm1, nspc, two_low, dtype)
 
-        ofs = tabs.key_ofs[b]
-        w = nspc * ng
-        fac00, fac10 = sf["fac00"][:, None], sf["fac10"][:, None]
-        fac01, fac11 = sf["fac01"][:, None], sf["fac11"][:, None]
-        acc0 = jnp.zeros((T, ng), dtype)
-        acc1 = jnp.zeros((T, ng), dtype)
+        ofs, stride = tabs.key_ofs[b]
+        fac00, fac10 = sf["fac00"], sf["fac10"]
+        fac01, fac11 = sf["fac01"], sf["fac11"]
+        acc0 = jnp.zeros((ng, T), dtype)
+        acc1 = jnp.zeros((ng, T), dtype)
         for s in range(nspc):
-            t0a = ctx.M0[:, ofs + s * ng: ofs + (s + 1) * ng]
-            t0b = ctx.M0[:, ofs + w + s * ng: ofs + w + (s + 1) * ng]
-            t1a = ctx.M1[:, ofs + s * ng: ofs + (s + 1) * ng]
-            t1b = ctx.M1[:, ofs + w + s * ng: ofs + w + (s + 1) * ng]
-            acc0 = acc0 + ws0[s][:, None] * (fac00 * t0a + fac10 * t0b)
-            acc1 = acc1 + ws1[s][:, None] * (fac01 * t1a + fac11 * t1b)
-        taug = speccomb[:, None] * acc0 + speccomb1[:, None] * acc1
+            r0 = ofs + s * stride
+            r1 = ofs + (nspc + s) * stride
+            t0a = ctx.M0[r0: r0 + ng, :]
+            t0b = ctx.M0[r1: r1 + ng, :]
+            t1a = ctx.M1[r0: r0 + ng, :]
+            t1b = ctx.M1[r1: r1 + ng, :]
+            acc0 = acc0 + ws0[s] * (fac00 * t0a + fac10 * t0b)
+            acc1 = acc1 + ws1[s] * (fac01 * t1a + fac11 * t1b)
+        taug = speccomb * acc0 + speccomb1 * acc1
 
     if spec.tauself:
-        o = tabs.self_ofs[b]
-        lo = ctx.Ms[:, o: o + ng]
-        hi = ctx.Ms[:, o + ng: o + 2 * ng]
-        taug = taug + sf["selffac"][:, None] * (
-            lo + sf["selffrac"][:, None] * (hi - lo))
+        o, stride = tabs.self_ofs[b]
+        lo = ctx.Ms[o: o + ng, :]
+        hi = ctx.Ms[o + stride: o + stride + ng, :]
+        taug = taug + sf["selffac"] * (lo + sf["selffrac"] * (hi - lo))
     if spec.taufor:
-        o = tabs.for_ofs[b]
-        lo = ctx.Mf[:, o: o + ng]
-        hi = ctx.Mf[:, o + ng: o + 2 * ng]
-        taug = taug + sf["forfac"][:, None] * (
-            lo + sf["forfrac"][:, None] * (hi - lo))
+        o, stride = tabs.for_ofs[b]
+        lo = ctx.Mf[o: o + ng, :]
+        hi = ctx.Mf[o + stride: o + stride + ng, :]
+        taug = taug + sf["forfac"] * (lo + sf["forfrac"] * (hi - lo))
 
     for m in spec.minors:
         if m.col.startswith("adj_"):
@@ -325,56 +323,50 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
             colm = sf["colbrd"] * sf["scaleminor"]
         else:
             colm = _col(ctx, m.col[3:])
-        o = tabs.minor_ofs[(b, m.table)]
+        o, stride, nk = tabs.minor_ofs[(b, m.table)]
         if m.kind == "flat":
-            lo = ctx.Mm[:, o: o + ng]
-            hi = ctx.Mm[:, o + ng: o + 2 * ng]
-            absm = lo + sf["minorfrac"][:, None] * (hi - lo)
+            lo = ctx.Mm[o: o + ng, :]
+            hi = ctx.Mm[o + stride: o + stride + ng, :]
+            absm = lo + sf["minorfrac"] * (hi - lo)
         else:
             g1, g2, plev = m.refrat
-            chi_np = np.asarray(ktabs_np["chi_mls"], np.float64)
             refrat = float(chi_np[_GAS_CHI[g1] - 1, plev - 1]
                            / chi_np[_GAS_CHI[g2] - 1, plev - 1])
             _, _, jm0, fm = _eta_params(_col(ctx, g1), _col(ctx, g2),
                                         jnp.asarray(refrat, dtype), scale)
-            nk = 9 if lower else 5
             jm0 = jnp.clip(jm0, 0, nk - 2)
-            wblk = nk * ng
-            a1 = jnp.zeros((T, ng), dtype)
-            a2 = jnp.zeros((T, ng), dtype)
-            fmc = fm[:, None]
+            a1 = jnp.zeros((ng, T), dtype)
+            a2 = jnp.zeros((ng, T), dtype)
             for k in range(nk - 1):
-                sel = (jm0 == k)[:, None]
-                m00 = ctx.Mm[:, o + k * ng: o + (k + 1) * ng]
-                m10 = ctx.Mm[:, o + (k + 1) * ng: o + (k + 2) * ng]
-                m01 = ctx.Mm[:, o + wblk + k * ng: o + wblk + (k + 1) * ng]
-                m11 = ctx.Mm[:, o + wblk + (k + 1) * ng:
-                             o + wblk + (k + 2) * ng]
-                a1 = a1 + jnp.where(sel, m00 + fmc * (m10 - m00), 0.0)
-                a2 = a2 + jnp.where(sel, m01 + fmc * (m11 - m01), 0.0)
-            absm = a1 + sf["minorfrac"][:, None] * (a2 - a1)
-        taug = taug + colm[:, None] * absm
+                sel = jm0 == k
+                m00 = ctx.Mm[o + k * stride: o + k * stride + ng, :]
+                m10 = ctx.Mm[o + (k + 1) * stride:
+                             o + (k + 1) * stride + ng, :]
+                o2 = o + nk * stride
+                m01 = ctx.Mm[o2 + k * stride: o2 + k * stride + ng, :]
+                m11 = ctx.Mm[o2 + (k + 1) * stride:
+                             o2 + (k + 1) * stride + ng, :]
+                a1 = a1 + jnp.where(sel, m00 + fm * (m10 - m00), 0.0)
+                a2 = a2 + jnp.where(sel, m01 + fm * (m11 - m01), 0.0)
+            absm = a1 + sf["minorfrac"] * (a2 - a1)
+        taug = taug + colm * absm
 
     for wx_i, vec in spec.cfcs:
         o = tabs.cfc_ofs[(b, vec)]
-        v = ctx.Cf[0, o: o + ng]
-        taug = taug + sf[f"wx{wx_i - 1}"][:, None] * v[None, :]
+        taug = taug + sf[f"wx{wx_i - 1}"] * ctx.Cf[o: o + ng, :]
 
     if spec.corradj == "b1l":
         pp = sf["pavel"]
-        corr = jnp.where(pp < 250.0, 1.0 - 0.15 * (250.0 - pp) / 154.4,
-                         1.0)
-        taug = corr[:, None] * taug
+        taug = jnp.where(pp < 250.0,
+                         1.0 - 0.15 * (250.0 - pp) / 154.4, 1.0) * taug
     elif spec.corradj == "b1u":
-        taug = (1.0 - 0.15 * (sf["pavel"] / 95.6))[:, None] * taug
+        taug = (1.0 - 0.15 * (sf["pavel"] / 95.6)) * taug
     elif spec.corradj == "b2":
-        taug = (1.0 - 0.05 * (sf["pavel"] - 100.0) / 900.0)[:, None] * taug
+        taug = (1.0 - 0.05 * (sf["pavel"] - 100.0) / 900.0) * taug
 
     if spec.postscale:
-        # build the per-g scale vector from iota (pallas kernels cannot
-        # capture array constants)
-        giota = jax.lax.broadcasted_iota(jnp.int32, (1, ng), 1)
-        fac = jnp.ones((1, ng), dtype)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (ng, 1), 0)
+        fac = jnp.ones((ng, 1), dtype)
         for g1b, v in spec.postscale.items():
             fac = jnp.where(giota == g1b - 1, jnp.asarray(v, dtype), fac)
         taug = taug * fac
@@ -382,114 +374,135 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
     fofs, frows = tabs.frac_ofs[b]
     if spec.frac_eta is not None:
         g1, g2, plev = spec.frac_eta
-        chi_np = np.asarray(ktabs_np["chi_mls"], np.float64)
         refrat = float(chi_np[_GAS_CHI[g1] - 1, plev - 1]
                        / chi_np[_GAS_CHI[g2] - 1, plev - 1])
         _, _, jpl0, fpl = _eta_params(_col(ctx, g1), _col(ctx, g2),
                                       jnp.asarray(refrat, dtype), scale)
         jpl0 = jnp.clip(jpl0, 0, frows - 2)
-        flo = jnp.zeros((T, ng), dtype)
-        fhi = jnp.zeros((T, ng), dtype)
+        flo = jnp.zeros((ng, T), dtype)
+        fhi = jnp.zeros((ng, T), dtype)
         for s in range(frows - 1):
-            sel = (jpl0 == s)[:, None]
-            Fs = ctx.Fr[s, fofs: fofs + ng]
-            Fs1 = ctx.Fr[s + 1, fofs: fofs + ng]
-            flo = flo + jnp.where(sel, Fs[None, :], 0.0)
-            fhi = fhi + jnp.where(sel, Fs1[None, :], 0.0)
-        fracs = flo + fpl[:, None] * (fhi - flo)
+            sel = jpl0 == s
+            Fs = ctx.Fr[fofs: fofs + ng, s: s + 1]
+            Fs1 = ctx.Fr[fofs: fofs + ng, s + 1: s + 2]
+            flo = flo + jnp.where(sel, Fs, 0.0)
+            fhi = fhi + jnp.where(sel, Fs1, 0.0)
+        fracs = flo + fpl * (fhi - flo)
     else:
-        fracs = jnp.broadcast_to(ctx.Fr[0, fofs: fofs + ng][None, :],
-                                 (T, ng))
+        fracs = jnp.broadcast_to(ctx.Fr[fofs: fofs + ng, 0:1], (ng, T))
     return taug, fracs
 
 
 class PallasTaumol:
-    """Drop-in replacement for TaumolEngine.__call__ on TPU (f32)."""
+    """Drop-in replacement for TaumolEngine.__call__ on TPU (f32).
+
+    Reverse-mode autodiff is supported via custom_vjp: the forward runs
+    this kernel; the backward differentiates the XLA engine (identical
+    math at f32, so primal/cotangent consistency holds).
+    """
 
     def __init__(self, ktables: dict, static: dict, dtype=jnp.float32,
                  tile: int = 256, interpret: bool = False):
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("PallasTaumol supports float32 only")
+        from .taumol import TaumolEngine
+        self._xla_engine = TaumolEngine(ktables, static,
+                                        dtype=jnp.float32)
         self.dtype = jnp.float32
         self.tile = tile
         self.interpret = interpret
         self.low = build_region_tables(ktables, static, lower=True)
         self.up = build_region_tables(ktables, static, lower=False)
-        self.ktabs_np = dict(ktables)
-        self.ktabs_np["chi_mls"] = np.asarray(static["chi_mls"])
+        self.chi_np = np.asarray(static["chi_mls"], np.float64)
         self._tables_dev = tuple(
             jnp.asarray(t) for t in (
-                self.low.key, self.low.selftab, self.low.fortab,
-                self.low.minortab, self.low.fractab, self.low.cfctab,
-                self.up.key, self.up.selftab, self.up.fortab,
-                self.up.minortab, self.up.fractab, self.up.cfctab)
+                self.low.keyT, self.low.selfT, self.low.forT,
+                self.low.minorT, self.low.fracT, self.low.cfcT,
+                self.up.keyT, self.up.selfT, self.up.forT,
+                self.up.minorT, self.up.fracT, self.up.cfcT)
             if t is not None)
         self._kernel = self._build()
+        self._call = self._build_vjp()
+
+    # ------------------------------------------------------------------
+    def _build_vjp(self):
+        @jax.custom_vjp
+        def call(sc, prof):
+            return self._forward(sc, prof)
+
+        def call_fwd(sc, prof):
+            return self._forward(sc, prof), (sc, prof)
+
+        def call_bwd(res, ct):
+            sc, prof = res
+            _, vjp = jax.vjp(lambda s, p: self._xla_engine(s, p),
+                             sc, prof)
+            return vjp(ct)
+
+        call.defvjp(call_fwd, call_bwd)
+        return call
 
     # ------------------------------------------------------------------
     def _build(self):
         T = self.tile
         low, up = self.low, self.up
-        ktabs_np = self.ktabs_np
+        chi_np = self.chi_np
         dtype = self.dtype
 
         def kernel(scf_ref, sci_ref, keyl_ref, selfl_ref, forl_ref,
                    minorl_ref, fracl_ref, cfcl_ref, keyu_ref, selfu_ref,
                    foru_ref, minoru_ref, fracu_ref, cfcu_ref,
                    taug_ref, fracs_ref):
-            sf = {name: scf_ref[i, :]
+            sf = {name: scf_ref[i: i + 1, :]
                   for i, name in enumerate(F_FIELDS + P_FIELDS)}
-            si = {name: sci_ref[i, :]
+            si = {name: sci_ref[i: i + 1, :]
                   for i, name in enumerate(I_FIELDS)}
-            lmask = sci_ref[len(I_FIELDS), :] > 0        # (T,)
+            li = len(I_FIELDS)
+            lm = sci_ref[li: li + 1, :] > 0              # (1, T)
             jp, jt, jt1 = si["jp"], si["jt"], si["jt1"]
 
-            W0l = _onehot(jnp.clip(jp * 5 + jt, 0, 64), 65, dtype)
-            W1l = _onehot(jnp.clip((jp + 1) * 5 + jt1, 0, 64), 65, dtype)
-            W0u = _onehot(jnp.clip((jp - 12) * 5 + jt, 0, 234), 235,
-                          dtype)
-            W1u = _onehot(jnp.clip((jp - 11) * 5 + jt1, 0, 234), 235,
-                          dtype)
-            Wself = _onehot(si["indself"], 10, dtype)
-            Wfor = _onehot(si["indfor"], 4, dtype)
-            Wmin = _onehot(si["indminor"], 19, dtype)
+            W0l = _onehot_T(jnp.clip(jp * 5 + jt, 0, 64), 65, dtype)
+            W1l = _onehot_T(jnp.clip((jp + 1) * 5 + jt1, 0, 64), 65,
+                            dtype)
+            W0u = _onehot_T(jnp.clip((jp - 12) * 5 + jt, 0, 234), 235,
+                            dtype)
+            W1u = _onehot_T(jnp.clip((jp - 11) * 5 + jt1, 0, 234), 235,
+                            dtype)
+            Wself = _onehot_T(si["indself"], 10, dtype)
+            Wfor = _onehot_T(si["indfor"], 4, dtype)
+            Wmin = _onehot_T(si["indminor"], 19, dtype)
 
-            def mdot(W, ref):
-                return _dot(W, ref[:]) if ref is not None else None
+            def mdot(ref, W):
+                return _dot(ref[:], W) if ref is not None else None
 
-            rd = lambda ref: ref[:] if ref is not None else None
-            M0l, M1l = _dot(W0l, keyl_ref[:]), _dot(W1l, keyl_ref[:])
-            M0u, M1u = _dot(W0u, keyu_ref[:]), _dot(W1u, keyu_ref[:])
-            ctx_l = _Ctx(sf, si, M0l, M1l, mdot(Wself, selfl_ref),
-                         mdot(Wfor, forl_ref), mdot(Wmin, minorl_ref),
-                         rd(fracl_ref), rd(cfcl_ref),
-                         low, M0l[:, low.chi_ofs: low.chi_ofs + 7])
-            ctx_u = _Ctx(sf, si, M0u, M1u, mdot(Wself, selfu_ref),
-                         mdot(Wfor, foru_ref), mdot(Wmin, minoru_ref),
-                         rd(fracu_ref), rd(cfcu_ref),
-                         up, M0u[:, up.chi_ofs: up.chi_ofs + 7])
+            ctx_l = _Ctx(sf, si, _dot(keyl_ref[:], W0l),
+                         _dot(keyl_ref[:], W1l), mdot(selfl_ref, Wself),
+                         mdot(forl_ref, Wfor), mdot(minorl_ref, Wmin),
+                         fracl_ref[:] if fracl_ref is not None else None,
+                         cfcl_ref[:] if cfcl_ref is not None else None,
+                         low)
+            ctx_u = _Ctx(sf, si, _dot(keyu_ref[:], W0u),
+                         _dot(keyu_ref[:], W1u), mdot(selfu_ref, Wself),
+                         mdot(foru_ref, Wfor), mdot(minoru_ref, Wmin),
+                         fracu_ref[:] if fracu_ref is not None else None,
+                         cfcu_ref[:] if cfcu_ref is not None else None,
+                         up)
 
             taug_parts, frac_parts = [], []
-            lm = lmask[:, None]
             for bs in BAND_SPECS:
                 tl, fl = _region_eval(bs.lower, bs.band, True, ctx_l,
-                                      ktabs_np, dtype)
+                                      chi_np, dtype)
                 tu, fu = _region_eval(bs.upper, bs.band, False, ctx_u,
-                                      ktabs_np, dtype)
+                                      chi_np, dtype)
                 taug_parts.append(jnp.where(lm, tl, tu))
                 frac_parts.append(jnp.where(lm, fl, fu))
-            taug_ref[:] = jnp.concatenate(taug_parts, axis=1)
-            fracs_ref[:] = jnp.concatenate(frac_parts, axis=1)
+            taug_ref[:] = jnp.concatenate(taug_parts, axis=0)
+            fracs_ref[:] = jnp.concatenate(frac_parts, axis=0)
 
-        tab_spec = lambda t: pl.BlockSpec(
-            t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        none_or = lambda t: (tab_spec(t) if t is not None else None)
-
-        tables = [low.key, low.selftab, low.fortab, low.minortab,
-                  low.fractab, low.cfctab,
-                  up.key, up.selftab, up.fortab, up.minortab,
-                  up.fractab, up.cfctab]
-        # pallas can't take None inputs: drop them and adapt kernel args
+        tables = [low.keyT, low.selfT, low.forT, low.minorT, low.fracT,
+                  low.cfcT,
+                  up.keyT, up.selfT, up.forT, up.minorT, up.fracT,
+                  up.cfcT]
         live = [t is not None for t in tables]
 
         def kernel_adapter(scf_ref, sci_ref, *refs):
@@ -498,6 +511,8 @@ class PallasTaumol:
             taug_ref, fracs_ref = refs[sum(live):]
             kernel(scf_ref, sci_ref, *full, taug_ref, fracs_ref)
 
+        tab_spec = lambda t: pl.BlockSpec(
+            t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec((NSF, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -510,13 +525,13 @@ class PallasTaumol:
             grid = C // T
             return pl.pallas_call(
                 kernel_adapter,
-                out_shape=(jax.ShapeDtypeStruct((C, 140), jnp.float32),
-                           jax.ShapeDtypeStruct((C, 140), jnp.float32)),
+                out_shape=(jax.ShapeDtypeStruct((140, C), jnp.float32),
+                           jax.ShapeDtypeStruct((140, C), jnp.float32)),
                 grid=(grid,),
                 in_specs=in_specs,
-                out_specs=(pl.BlockSpec((T, 140), lambda i: (i, 0),
+                out_specs=(pl.BlockSpec((140, T), lambda i: (0, i),
                                         memory_space=pltpu.VMEM),
-                           pl.BlockSpec((T, 140), lambda i: (i, 0),
+                           pl.BlockSpec((140, T), lambda i: (0, i),
                                         memory_space=pltpu.VMEM)),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
@@ -527,6 +542,9 @@ class PallasTaumol:
 
     # ------------------------------------------------------------------
     def __call__(self, sc: SetcoefOut, prof: Profile):
+        return self._call(sc, prof)
+
+    def _forward(self, sc: SetcoefOut, prof: Profile):
         B, L = sc.jp.shape
         C = B * L
         T = self.tile
@@ -552,6 +570,6 @@ class PallasTaumol:
         sci = jnp.stack(ints)
 
         taug, fracs = self._kernel(Cp, scf, sci, *self._tables_dev)
-        if pad:
-            taug, fracs = taug[:C], fracs[:C]
-        return (taug.reshape(B, L, 140), fracs.reshape(B, L, 140))
+        taug = taug[:, :C].T.reshape(B, L, 140)
+        fracs = fracs[:, :C].T.reshape(B, L, 140)
+        return taug, fracs

@@ -1,0 +1,47 @@
+"""Pallas taumol kernel vs the XLA reference engine (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helpers import make_atmosphere
+
+from rrtmg_lw_tpu import LWConfig, make_model
+from rrtmg_lw_tpu.ops.inatm import inatm
+from rrtmg_lw_tpu.ops.setcoef import setcoef
+from rrtmg_lw_tpu.ops.taumol_pallas import PallasTaumol
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = make_model(LWConfig(icld=0, dtype="float32",
+                                taumol_impl="xla"))
+    atm = make_atmosphere(ncol=8, nlay=43, dtype=jnp.float32)
+    prof = jax.jit(lambda a: inatm(a, dtype=jnp.float32))(atm)
+    sc = jax.jit(lambda p: setcoef(p, model.static, istart=1,
+                                   idrv=0))(prof)
+    return model, prof, sc
+
+
+def test_kernel_matches_engine(setup):
+    model, prof, sc = setup
+    pt = PallasTaumol(model.ktables, model.static_np, interpret=True)
+    tg, fr = pt(sc, prof)
+    rt, rf = jax.jit(lambda s, p: model.engine(s, p))(sc, prof)
+    # fracs bit-exact; taug within f32 rounding (cancellation-heavy
+    # extrapolation cells can differ by ~1 ulp of the largest term)
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(rf))
+    np.testing.assert_allclose(np.asarray(tg), np.asarray(rt),
+                               atol=5e-6, rtol=5e-5)
+
+
+def test_kernel_pads_ragged_batch(setup):
+    model, prof, sc = setup
+    pt = PallasTaumol(model.ktables, model.static_np, interpret=True,
+                      tile=128)
+    # 8*43 = 344 cells -> pads to 384
+    tg, fr = pt(sc, prof)
+    assert tg.shape == (8, 43, 140)
+    assert np.isfinite(np.asarray(tg)).all()
