@@ -138,9 +138,23 @@ def read_input_rrtm(path, cld_path=None, aer_path=None) -> ColumnCase:
             i += 1
 
     if case.iatm != 0:
-        raise NotImplementedError(
-            "IATM=1 (RRTATM layering) — use io.rrtatm for the built-in "
-            "standard atmospheres")
+        # RRTATM layering (records 3.1-3.6); rrtmg_lw.1col.f90:999-1008
+        from . import rrtatm as rrtatm_mod
+        res, i = rrtatm_mod.read_rrtatm(lines, i, ixsect=case.ixsect)
+        nlayers = res.nlayers
+        nmol = res.amount.shape[0]
+        case.nlayers = nlayers
+        pavel, tavel = res.pavel, res.tavel
+        pz, tz, altz = res.pz, res.tz, res.altz
+        wkl_in = np.zeros((max(nmol, 7), nlayers))
+        wkl_in[:nmol] = res.amount
+        wbrodl = res.wn2l
+        if case.icld in (4, 5) and case.idcor == 1:
+            case.lat = res.ref_lat        # :947 (iatm=1 -> ref_lat)
+        nxmol0, ixindx, wx0 = 0, [], None
+        return _finish_case(case, nlayers, nmol, pavel, tavel, pz, tz,
+                            altz, wkl_in, wbrodl, nxmol0, ixindx, wx0,
+                            clouds, tauaer16)
 
     # record 2.1 (1x,i1,i3,i5)
     l = lines[i]; i += 1
@@ -197,7 +211,6 @@ def read_input_rrtm(path, cld_path=None, aer_path=None) -> ColumnCase:
             m += n
 
     # cross-sections (IXSECT=1, record 2.2 path)
-    wx = np.zeros((4, nlayers))
     if case.ixsect == 1:
         nxmol0 = fint(lines[i], 1, 5); i += 1
         names = []
@@ -221,6 +234,16 @@ def read_input_rrtm(path, cld_path=None, aer_path=None) -> ColumnCase:
     else:
         nxmol0, ixindx, wx0 = 0, [], None
 
+    return _finish_case(case, nlayers, nmol, pavel, tavel, pz, tz, altz,
+                        wkl_in, wbrodl, nxmol0, ixindx, wx0, clouds,
+                        tauaer16)
+
+
+def _finish_case(case, nlayers, nmol, pavel, tavel, pz, tz, altz,
+                 wkl_in, wbrodl, nxmol0, ixindx, wx0, clouds, tauaer16):
+    """Shared post-processing for both IATM paths (rrtmg_lw.1col.f90:
+    1011-1135): column conversion, pwvcm, cloud/aerosol transfer."""
+    wx = np.zeros((4, nlayers))
     # mixing-ratio detection + column conversion (:1011-1053)
     imix = int(np.all(wkl_in[:nmol, 0] <= 1.0))
     coldry = np.zeros(nlayers)
