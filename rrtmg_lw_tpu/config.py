@@ -37,6 +37,8 @@ class LWConfig:
                            # False -> closed-form exp (faster on TPU)
     taumol_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU
                                # when dtype is float32)
+    rt_impl: str = "auto"      # radiative-transfer sweep backend, same
+                               # scheme; pallas requires use_lut=False
     dtype: str = "float64" # compute dtype for the column physics
     cpdair: float = 1.004e3
 

@@ -55,6 +55,12 @@ class RRTMGLW:
         if impl == "pallas":
             from ..ops.taumol_pallas import PallasTaumol
             self.engine = PallasTaumol(ktables, self.static_np)
+        rt_impl = config.rt_impl
+        if rt_impl == "auto":
+            rt_impl = ("pallas" if (jax.default_backend() == "tpu"
+                                    and dtype == jnp.float32
+                                    and not config.use_lut) else "xla")
+        self.rt_pallas = rt_impl == "pallas"
         luts_np = build_lookup_tables()
         self.luts = {
             "tau_tbl": jnp.asarray(luts_np.tau_tbl, dtype),
@@ -116,19 +122,31 @@ class RRTMGLW:
             taut = taut[..., gsel]
             fracs = fracs[..., gsel]
 
-        common = dict(static=self.static_np, luts=self.luts,
-                      use_lut=cfg.use_lut, idrv=cfg.idrv,
-                      heatfac_val=self.heatfac, istart=cfg.istart,
-                      iend=cfg.iend)
+        def run_rt(cldf_g, odcld_g, cloudy, thresh):
+            if self.rt_pallas:
+                from ..ops import rtrn_pallas as rtp
+                return rtp.rt_random_overlap_pallas(
+                    taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                    sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                    cldf_g, odcld_g, cloudy=cloudy, gate_thresh=thresh,
+                    static=self.static_np, idrv=cfg.idrv,
+                    heatfac_val=self.heatfac, istart=cfg.istart,
+                    iend=cfg.iend)
+            gate = (cldf_g >= thresh) if cloudy \
+                else jnp.zeros(taut.shape, bool)
+            return rt.rt_random_overlap(
+                taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                cldf_g, odcld_g,
+                cloudy_lay=jnp.any(gate, axis=-1), cld_gate=gate,
+                static=self.static_np, luts=self.luts,
+                use_lut=cfg.use_lut, idrv=cfg.idrv,
+                heatfac_val=self.heatfac, istart=cfg.istart,
+                iend=cfg.iend)
 
         if cfg.icld == 0 or clouds is None:
             zero_g = jnp.zeros(taut.shape, dtype)
-            out = rt.rt_random_overlap(
-                taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
-                sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
-                zero_g, zero_g,
-                cloudy_lay=jnp.zeros((B, L), bool),
-                cld_gate=jnp.zeros(taut.shape, bool), **common)
+            out = run_rt(zero_g, zero_g, False, 2.0)
         elif cfg.imca == 1:
             assert isinstance(clouds, McicaClouds)
             taucmc, _ = cld_ops.cldprmc(
@@ -136,12 +154,9 @@ class RRTMGLW:
                 iceflag=cfg.iceflag, liqflag=cfg.liqflag)
             cldf_g = clouds.cldfmc[..., gsel]
             odcld_g = taucmc[..., gsel]
-            gate = cldf_g == 1.0
-            out = rt.rt_random_overlap(
-                taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
-                sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
-                cldf_g, odcld_g,
-                cloudy_lay=jnp.any(gate, axis=-1), cld_gate=gate, **common)
+            # cldfmc is binary (0/1): >= 0.5 reproduces the reference's
+            # cldfmc == 1 gate (rtrnmc.f90:317)
+            out = run_rt(cldf_g, odcld_g, True, 0.5)
         else:
             assert isinstance(clouds, BandClouds)
             taucloud, _ = cld_ops.cldprop(
@@ -151,18 +166,16 @@ class RRTMGLW:
             if cfg.icld == 1:
                 cldf_g = jnp.broadcast_to(
                     clouds.cldfrac[..., None], taut.shape)
-                cloudy = clouds.cldfrac >= 1.0e-6
-                gate = jnp.broadcast_to(cloudy[..., None], taut.shape)
-                out = rt.rt_random_overlap(
-                    taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
-                    sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
-                    cldf_g, odcld_g,
-                    cloudy_lay=cloudy, cld_gate=gate, **common)
+                out = run_rt(cldf_g, odcld_g, True, 1.0e-6)
             else:
                 out = rtmr.rt_maxrandom(
                     taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
                     sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
-                    clouds.cldfrac, odcld_g, **common)
+                    clouds.cldfrac, odcld_g,
+                    static=self.static_np, luts=self.luts,
+                    use_lut=cfg.use_lut, idrv=cfg.idrv,
+                    heatfac_val=self.heatfac, istart=cfg.istart,
+                    iend=cfg.iend)
 
         uflx, dflx = out.totuflux, out.totdflux
         duflx_dt = out.dtotuflux_dt

@@ -77,8 +77,12 @@ def _gas_factors(od, luts, use_lut):
     else:
         e = jnp.exp(-od)
         atrans_big = 1.0 - e
-        od_safe = jnp.maximum(od, 1e-12)
-        tf_big = 1.0 - 2.0 * (1.0 / od_safe - e / jnp.maximum(1.0 - e, 1e-300))
+        # clamp at the branch threshold: values in the selected region
+        # are unchanged and the unselected branch stays finite under
+        # reverse-mode AD (1/od would give inf cotangents at od=0)
+        od_safe = jnp.maximum(od, 0.06)
+        e_safe = jnp.exp(-od_safe)
+        tf_big = 1.0 - 2.0 * (1.0 / od_safe - e_safe / (1.0 - e_safe))
         od_big = od
     atrans = jnp.where(small, atrans_small, atrans_big)
     tf = jnp.where(small, tf_small, tf_big)
@@ -98,8 +102,9 @@ def _tot_factors(odtot, luts, use_lut):
     else:
         e = jnp.exp(-odtot)
         atot_big = 1.0 - e
-        ots = jnp.maximum(odtot, 1e-12)
-        tf_big = 1.0 - 2.0 * (1.0 / ots - e / jnp.maximum(1.0 - e, 1e-300))
+        ots = jnp.maximum(odtot, 0.06)        # see _gas_factors
+        e_safe = jnp.exp(-ots)
+        tf_big = 1.0 - 2.0 * (1.0 / ots - e_safe / (1.0 - e_safe))
     return (jnp.where(small, atot_small, atot_big),
             jnp.where(small, tf_small, tf_big))
 

@@ -1,0 +1,396 @@
+"""Pallas TPU kernel for the radiative-transfer level recurrence.
+
+The XLA path (rtrn.py) precomputes eight (B, L, G) source/absorptivity
+arrays in HBM and then runs two `lax.scan`s over levels, so every
+radiance update round-trips HBM several times (measured ~16 ms for
+4096x60 columns on a v5e — ~70x off the memory bound).  This kernel
+fuses the precompute into the sweeps: for a 128-column tile everything
+is computed on the fly from taut/fracs/cloud blocks streamed through
+VMEM, radiance carries live in VMEM scratch across grid steps, and only
+the band-integrated fluxes (L+1 rows per column) ever return to HBM.
+
+Layout: (level, g, column) with the column tile in the 128-lane
+dimension and g padded to a multiple of 8 sublanes.  The per-band
+Planck/surface quantities expand to g-resolution with a constant
+one-hot (G_pad, 16) matmul.  Grid = (column tiles, 2 x level chunks):
+the first half of the j-axis streams level chunks top-down (downward
+sweep), the second half bottom-up (upward sweep); the surface
+reflection happens at the phase switch.  Pallas double-buffers the
+chunk DMAs automatically; flux rows accumulate into an output block
+that stays resident per column tile.
+
+Matches rtrn.py (rtrnmc.f90/rtrn.f90 semantics) in the use_lut=False
+f32 configuration: 3-regime optical-depth factors with direct exp,
+water-vapor diffusivity secant, clear-sky twin stream gated by the
+cloud-in-path flag, idrv d/dT recursion.  The f64/LUT golden path stays
+on the XLA implementation.
+
+Autodiff: custom_vjp — forward runs this kernel, backward differentiates
+the XLA implementation (identical math at f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import FLUXFAC, REC_6, WTDIFF
+from . import rtrn as rt_xla
+
+NBANDS = 16
+
+
+def _pad_to(n, m):
+    return -(-n // m) * m
+
+
+def _gas_factors(od):
+    small = od <= 0.06
+    e = jnp.exp(-od)
+    od_safe = jnp.maximum(od, 0.06)           # match rtrn._gas_factors
+    e_safe = jnp.exp(-od_safe)
+    atrans = jnp.where(small, od - 0.5 * od * od, 1.0 - e)
+    tf = jnp.where(small, REC_6 * od,
+                   1.0 - 2.0 * (1.0 / od_safe - e_safe / (1.0 - e_safe)))
+    return atrans, tf
+
+
+@functools.lru_cache(maxsize=32)
+def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv,
+                  gate_thresh, ngb0_key, delwave_key, interpret):
+    """Compile-time factory; ngb0/delwave passed as hashable tuples."""
+    ngb0 = np.asarray(ngb0_key, np.int32)            # (G,) band of g
+    delwave = np.asarray(delwave_key, np.float64)
+    nc = Lp // Lc
+    NOUT = 6 if idrv else 4
+
+    # band-expansion one-hot (cols 0:16) + g flux weights (col 16),
+    # shipped as a kernel input (Pallas kernels cannot capture consts)
+    ew_np = np.zeros((G_pad, NBANDS + 1), np.float32)
+    ew_np[np.arange(G), ngb0] = 1.0
+    ew_np[:G, NBANDS] = (WTDIFF * delwave[ngb0] * FLUXFAC
+                         ).astype(np.float32)
+
+    def kernel(*refs):
+        if cloudy:
+            (ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r,
+             cldf_r, odcld_r, out_r, rad_s, flag_s) = refs
+        else:
+            (ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r,
+             out_r, rad_s, flag_s) = refs
+        j = pl.program_id(1)
+        down = j < nc
+        chunk = jnp.where(down, nc - 1 - j, j - nc)
+        wg = ew_r[:, NBANDS:NBANDS + 1]
+
+        def edot(m16):
+            return jnp.dot(ew_r[:, 0:NBANDS], m16,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        secd_g = edot(surf_r[0:16, :])               # (G_pad, BT)
+
+        @pl.when(j == 0)
+        def _init():
+            out_r[:] = jnp.zeros((NOUT, L1p, BT), jnp.float32)
+            rad_s[:] = jnp.zeros(rad_s.shape, jnp.float32)
+            flag_s[:] = jnp.zeros(flag_s.shape, jnp.float32)
+
+        @pl.when(j == nc)
+        def _surface():
+            sem_g = edot(surf_r[16:32, :])
+            pbnd_g = edot(surf_r[32:48, :])
+            f0 = fracs_r[0]
+            rad0 = f0 * pbnd_g
+            reflect = 1.0 - sem_g
+            radlu0 = rad0 + reflect * rad_s[0]
+            radclru0 = rad0 + reflect * rad_s[1]
+            rad_s[2] = radlu0
+            rad_s[3] = radclru0
+            out_r[0, 0, :] = jnp.sum(wg * radlu0, axis=0)
+            out_r[2, 0, :] = jnp.sum(wg * radclru0, axis=0)
+            if idrv:
+                d0 = f0 * edot(surf_r[48:64, :])
+                rad_s[4] = d0
+                rad_s[5] = d0
+                out_r[4, 0, :] = jnp.sum(wg * d0, axis=0)
+                out_r[5, 0, :] = jnp.sum(wg * d0, axis=0)
+
+        def common(k):
+            t = taut_r[k]
+            f = fracs_r[k]
+            blay = edot(play_r[k])
+            od = jnp.maximum(secd_g * t, 0.0)
+            atrans, tf = _gas_factors(od)
+            if cloudy:
+                cldf = cldf_r[k]
+                gate = cldf >= gate_thresh
+                odcld = jnp.where(gate, secd_g * odcld_r[k], 0.0)
+                abscld = 1.0 - jnp.exp(-odcld)
+                efc = jnp.where(gate, abscld * cldf, 0.0)
+                atot, tftot = _gas_factors(od + odcld)
+                cly = (jnp.max(gate.astype(jnp.float32), axis=0,
+                               keepdims=True) > 0.0)   # (1, BT)
+                return f, blay, atrans, tf, cldf, efc, atot, tftot, cly
+            return f, blay, atrans, tf
+
+        @pl.when(down)
+        def _down():
+            for k in reversed(range(Lc)):
+                c = common(k)
+                f, blay, atrans, tf = c[:4]
+                dpl = edot(plo_r[k]) - blay
+                bbd = f * (blay + tf * dpl)
+                gassrc = atrans * bbd
+                radld = rad_s[0]
+                if cloudy:
+                    cldf, efc, atot, tftot, cly = c[4:]
+                    bbdtot = f * (blay + tftot * dpl)
+                    rad_cld = (radld - radld * (atrans
+                                                + efc * (1.0 - atrans))
+                               + gassrc
+                               + cldf * (bbdtot * atot - gassrc))
+                    rad_clr = radld + (bbd - radld) * atrans
+                    radld_n = jnp.where(cly, rad_cld, rad_clr)
+                    flag = jnp.maximum(flag_s[0:1, :],
+                                       cly.astype(jnp.float32))
+                    radclrd = rad_s[1]
+                    radclrd_n = jnp.where(flag > 0.0,
+                                          radclrd + (bbd - radclrd)
+                                          * atrans,
+                                          radld_n)
+                    flag_s[0:1, :] = flag
+                else:
+                    radld_n = radld + (bbd - radld) * atrans
+                    radclrd_n = radld_n
+                rad_s[0] = radld_n
+                rad_s[1] = radclrd_n
+                row = chunk * Lc + k
+                out_r[1, pl.ds(row, 1), :] = jnp.sum(
+                    wg * radld_n, axis=0, keepdims=True)
+                out_r[3, pl.ds(row, 1), :] = jnp.sum(
+                    wg * radclrd_n, axis=0, keepdims=True)
+
+        @pl.when(jnp.logical_not(down))
+        def _up():
+            anyc = flag_s[0:1, :] > 0.0
+            for k in range(Lc):
+                c = common(k)
+                f, blay, atrans, tf = c[:4]
+                dpu = edot(phi_r[k]) - blay
+                bbu = f * (blay + tf * dpu)
+                gassrc = bbu * atrans
+                radlu = rad_s[2]
+                radclru = rad_s[3]
+                if cloudy:
+                    cldf, efc, atot, tftot, cly = c[4:]
+                    bbut = f * (blay + tftot * dpu)
+                    rad_cld = (radlu - radlu * (atrans
+                                                + efc * (1.0 - atrans))
+                               + gassrc
+                               + cldf * (bbut * atot - gassrc))
+                    rad_clr = radlu + (bbu - radlu) * atrans
+                    radlu_n = jnp.where(cly, rad_cld, rad_clr)
+                    radclru_n = jnp.where(anyc,
+                                          radclru + (bbu - radclru)
+                                          * atrans,
+                                          radlu_n)
+                else:
+                    radlu_n = radlu + (bbu - radlu) * atrans
+                    radclru_n = radlu_n
+                rad_s[2] = radlu_n
+                rad_s[3] = radclru_n
+                row = chunk * Lc + k + 1
+                out_r[0, pl.ds(row, 1), :] = jnp.sum(
+                    wg * radlu_n, axis=0, keepdims=True)
+                out_r[2, pl.ds(row, 1), :] = jnp.sum(
+                    wg * radclru_n, axis=0, keepdims=True)
+                if idrv:
+                    dlu = rad_s[4]
+                    dclru = rad_s[5]
+                    if cloudy:
+                        cldf, efc, atot, tftot, cly = c[4:]
+                        dlu_n = jnp.where(
+                            cly,
+                            dlu * cldf * (1.0 - atot)
+                            + dlu * (1.0 - cldf) * (1.0 - atrans),
+                            dlu * (1.0 - atrans))
+                        dclru_n = jnp.where(anyc, dclru * (1.0 - atrans),
+                                            dlu_n)
+                    else:
+                        dlu_n = dlu * (1.0 - atrans)
+                        dclru_n = dlu_n
+                    rad_s[4] = dlu_n
+                    rad_s[5] = dclru_n
+                    out_r[4, pl.ds(row, 1), :] = jnp.sum(
+                        wg * dlu_n, axis=0, keepdims=True)
+                    out_r[5, pl.ds(row, 1), :] = jnp.sum(
+                        wg * dclru_n, axis=0, keepdims=True)
+
+    chunk_map = lambda i, j: (jnp.where(j < nc, nc - 1 - j, j - nc), 0, i)
+    gxb = pl.BlockSpec((Lc, G_pad, BT), chunk_map,
+                       memory_space=pltpu.VMEM)
+    bxb = pl.BlockSpec((Lc, NBANDS, BT), chunk_map,
+                       memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((G_pad, NBANDS + 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                gxb, gxb, bxb, bxb, bxb,
+                pl.BlockSpec((64, BT), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)]
+    if cloudy:
+        in_specs += [gxb, gxb]
+
+    def run(Bp, *arrays):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((NOUT, L1p, Bp), jnp.float32),
+            grid=(Bp // BT, 2 * nc),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((NOUT, L1p, BT),
+                                   lambda i, j: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((6, G_pad, BT), jnp.float32),
+                pltpu.VMEM((8, BT), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=bool(interpret),
+        )(jnp.asarray(ew_np), *arrays)
+
+    return run
+
+
+def _prep(x, Lp, G_pad, Bp, dims="lgb"):
+    """(B, L, G) -> padded (Lp, G_pad, Bp) etc., zero filled."""
+    if dims == "lgb":
+        x = jnp.moveaxis(x, 0, 2)                   # (L, G, B)
+        pads = ((0, Lp - x.shape[0]), (0, G_pad - x.shape[1]),
+                (0, Bp - x.shape[2]))
+    else:                                           # (B, L, 16) -> (L,16,B)
+        x = jnp.moveaxis(x, 0, 2)
+        pads = ((0, Lp - x.shape[0]), (0, 0), (0, Bp - x.shape[2]))
+    return jnp.pad(x, pads)
+
+
+def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
+                     dplankbnd_dt, semiss, pwvcm, cldf_g, odcld_g,
+                     *, gate_thresh, ngb0, delwave, cloudy, idrv,
+                     tile=128, lc_clear=20, lc_cloudy=12,
+                     interpret=False):
+    """Band-integrated fluxes (B, L+1) x {up, down, clrup, clrdn}
+    [+ dup/dT, dclrup/dT] via the fused Pallas sweep kernel.
+
+    cldf_g/odcld_g are ignored when cloudy=False.
+    """
+    B, L, G = taut.shape
+    dtype = taut.dtype
+    assert dtype == jnp.float32
+    Lc = lc_cloudy if cloudy else lc_clear
+    Lc = min(Lc, L)
+    Lp = _pad_to(L, Lc)
+    G_pad = _pad_to(G, 8)
+    Bp = _pad_to(B, tile)
+    L1p = _pad_to(Lp + 1, 8)
+
+    sec_band = rt_xla.secdiff(pwvcm, dtype)          # (B, 16)
+    surf = jnp.concatenate([
+        sec_band.T, semiss.T, plankbnd.T,
+        (dplankbnd_dt.T if idrv else jnp.zeros_like(plankbnd.T))],
+        axis=0)                                      # (64, B)
+    surf = jnp.pad(surf, ((0, 0), (0, Bp - B)))
+
+    arrays = [
+        _prep(taut, Lp, G_pad, Bp),
+        _prep(fracs, Lp, G_pad, Bp),
+        _prep(planklay, Lp, G_pad, Bp, "lbb"),
+        _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb"),
+        _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb"),
+        surf,
+    ]
+    if cloudy:
+        arrays.append(_prep(cldf_g, Lp, G_pad, Bp))
+        arrays.append(_prep(odcld_g, Lp, G_pad, Bp))
+
+    run = _build_kernel(L, Lp, Lc, G, G_pad, tile, L1p, bool(cloudy),
+                        bool(idrv), float(gate_thresh),
+                        tuple(int(v) for v in ngb0),
+                        tuple(float(v) for v in delwave),
+                        bool(interpret))
+    out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
+    out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)
+    return tuple(out[i] for i in range(out.shape[0]))
+
+
+def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
+                             dplankbnd_dt, semiss, pwvcm, pz, cldf_g,
+                             odcld_g, *, cloudy, gate_thresh, static,
+                             idrv, heatfac_val, istart=1, iend=16,
+                             interpret=False):
+    """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
+
+    Forward fluxes come from the Pallas kernel; reverse-mode runs
+    through the (numerically identical) XLA implementation.
+    """
+    ngb_full = np.asarray(static["ngb"]) - 1
+    gsel = np.nonzero((ngb_full >= istart - 1) & (ngb_full <= iend - 1))[0]
+    ngb0 = ngb_full[gsel]
+    delwave = np.asarray(static["delwave"])
+    B, L, G = taut.shape
+    if len(ngb0) != G:
+        raise ValueError("taut g-dim must match selected bands")
+
+    flux_kw = dict(gate_thresh=gate_thresh, ngb0=ngb0, delwave=delwave,
+                   cloudy=cloudy, idrv=idrv, interpret=interpret)
+
+    @jax.custom_vjp
+    def fluxes(taut, fracs, planklay, planklev, plankbnd, dplankbnd_dt,
+               semiss, pwvcm, pz, cldf_g, odcld_g):
+        return rt_fluxes_pallas(taut, fracs, planklay, planklev,
+                                plankbnd, dplankbnd_dt, semiss, pwvcm,
+                                cldf_g, odcld_g, **flux_kw)
+
+    def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
+                   dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g):
+        gate = cldf_g >= gate_thresh if cloudy \
+            else jnp.zeros(taut.shape, bool)
+        cly = jnp.any(gate, axis=-1)
+        out = rt_xla.rt_random_overlap(
+            taut, fracs, planklay, planklev, plankbnd, dplankbnd_dt,
+            semiss, pwvcm, pz, cldf_g, odcld_g, cloudy_lay=cly,
+            cld_gate=gate, static=static, luts=None, use_lut=False,
+            idrv=idrv, heatfac_val=heatfac_val, istart=istart, iend=iend)
+        res = (out.totuflux, out.totdflux, out.totuclfl, out.totdclfl)
+        if idrv:
+            res = res + (out.dtotuflux_dt, out.dtotuclfl_dt)
+        return res
+
+    def fwd(*args):
+        return fluxes(*args), args
+
+    def bwd(args, ct):
+        _, vjp = jax.vjp(fluxes_xla, *args)
+        return vjp(ct)
+
+    fluxes.defvjp(fwd, bwd)
+
+    res = fluxes(taut, fracs, planklay, planklev, plankbnd,
+                 dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g)
+    totuflux, totdflux, totuclfl, totdclfl = res[:4]
+
+    fnet = totuflux - totdflux
+    fnetc = totuclfl - totdclfl
+    dp = pz[:, :-1] - pz[:, 1:]
+    htr = heatfac_val * (fnet[:, :-1] - fnet[:, 1:]) / dp
+    htrc = heatfac_val * (fnetc[:, :-1] - fnetc[:, 1:]) / dp
+    if idrv:
+        return rt_xla.RTOut(totuflux, totdflux, htr, totuclfl, totdclfl,
+                            htrc, res[4], res[5])
+    return rt_xla.RTOut(totuflux, totdflux, htr, totuclfl, totdclfl,
+                        htrc)

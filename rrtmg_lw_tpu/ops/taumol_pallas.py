@@ -193,9 +193,32 @@ def _onehot_T(r, R, dtype):
     return jnp.where(iota == r, 1.0, 0.0).astype(dtype)
 
 
-def _dot(tbl, W):
-    return jnp.dot(tbl, W, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def _split3(tbl: np.ndarray) -> np.ndarray:
+    """3-way bf16 decomposition, rows concatenated: (3D, C) bf16.
+
+    The selection matmuls contract a one-hot W (0/1 entries — exact in
+    bf16) against f32 tables.  Mosaic only offers DEFAULT (one bf16
+    pass) or HIGHEST (six passes) MXU precision; a one-hot selection
+    needs full table precision but only one real product per output, so
+    hi/mid/lo bf16 components summed in f32 reproduce the f32 table to
+    ~2^-24 relative at half the HIGHEST pass count."""
+    x = tbl.astype(np.float32)
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - np.asarray(hi, np.float32)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - np.asarray(mid, np.float32)
+    lo = r2.astype(jnp.bfloat16)
+    return np.concatenate([np.asarray(hi), np.asarray(mid),
+                           np.asarray(lo)], axis=0)
+
+
+def _dot(tbl3, W):
+    """Selection matmul against a 3-way-split bf16 table (3D, C)."""
+    D = tbl3.shape[0] // 3
+    M = jnp.dot(tbl3, W.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+    return M[:D] + M[D:2 * D] + M[2 * D:]
 
 
 class _Ctx(NamedTuple):
@@ -414,13 +437,18 @@ class PallasTaumol:
         self.low = build_region_tables(ktables, static, lower=True)
         self.up = build_region_tables(ktables, static, lower=False)
         self.chi_np = np.asarray(static["chi_mls"], np.float64)
-        self._tables_dev = tuple(
-            jnp.asarray(t) for t in (
-                self.low.keyT, self.low.selfT, self.low.forT,
-                self.low.minorT, self.low.fracT, self.low.cfcT,
-                self.up.keyT, self.up.selfT, self.up.forT,
-                self.up.minorT, self.up.fracT, self.up.cfcT)
-            if t is not None)
+        # matmul'd tables (key/self/for/minor) ship as 3-way bf16 splits;
+        # directly-sliced tables (frac/cfc) stay f32
+        self._packed = []
+        for reg in (self.low, self.up):
+            for name in ("keyT", "selfT", "forT", "minorT"):
+                t = getattr(reg, name)
+                self._packed.append(None if t is None else _split3(t))
+            for name in ("fracT", "cfcT"):
+                t = getattr(reg, name)
+                self._packed.append(t)
+        self._tables_dev = tuple(jnp.asarray(t) for t in self._packed
+                                 if t is not None)
         self._kernel = self._build()
         self._call = self._build_vjp()
 
@@ -499,10 +527,7 @@ class PallasTaumol:
             taug_ref[:] = jnp.concatenate(taug_parts, axis=0)
             fracs_ref[:] = jnp.concatenate(frac_parts, axis=0)
 
-        tables = [low.keyT, low.selfT, low.forT, low.minorT, low.fracT,
-                  low.cfcT,
-                  up.keyT, up.selfT, up.forT, up.minorT, up.fracT,
-                  up.cfcT]
+        tables = self._packed
         live = [t is not None for t in tables]
 
         def kernel_adapter(scf_ref, sci_ref, *refs):

@@ -1,0 +1,83 @@
+"""Pallas RT sweep kernel vs the XLA implementation (interpret mode).
+
+Fluxes must agree to f32 rounding; heating rates are excluded because
+the finite difference across thin top layers amplifies f32 flux noise
+(~1e-4 W/m2 -> ~1e-2 K/day) identically in both directions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrtmg_lw_tpu import LWConfig, make_model
+from rrtmg_lw_tpu.ops import rtrn as rt
+from rrtmg_lw_tpu.ops import rtrn_pallas as rtp
+from rrtmg_lw_tpu.ops.inatm import inatm
+from rrtmg_lw_tpu.ops.setcoef import setcoef
+from rrtmg_lw_tpu.utils.synthetic import make_atmosphere
+
+
+@pytest.fixture(scope="module")
+def stack():
+    B, L = 8, 43
+    cfg = LWConfig(icld=0, dtype="float32", use_lut=False,
+                   taumol_impl="xla")
+    model = make_model(cfg)
+    atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32)
+    prof = inatm(atm, dtype=jnp.float32)
+    sc = setcoef(prof, model.static, istart=1, idrv=1)
+    taug, fracs = model.engine(sc, prof)
+    taut = taug + prof.taua[..., model.ngb0]
+    rng = np.random.default_rng(0)
+    cldf = (rng.random((B, L, 140)) < 0.3).astype(np.float32)
+    odcld = (rng.random((B, L, 140)) * 5).astype(np.float32) * cldf
+    return model, prof, sc, taut, fracs, jnp.asarray(cldf), \
+        jnp.asarray(odcld)
+
+
+@pytest.mark.parametrize("cloudy,idrv", [(False, 0), (True, 0),
+                                         (True, 1)])
+def test_flux_parity(stack, cloudy, idrv):
+    model, prof, sc, taut, fracs, cldf, odcld = stack
+    kw = dict(static=model.static_np, idrv=idrv,
+              heatfac_val=model.heatfac)
+    gate = (cldf >= 0.5) if cloudy else jnp.zeros(taut.shape, bool)
+    cf = cldf if cloudy else jnp.zeros_like(taut)
+    oc = odcld if cloudy else jnp.zeros_like(taut)
+    ref = rt.rt_random_overlap(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cf, oc,
+        cloudy_lay=jnp.any(gate, -1), cld_gate=gate, luts=None,
+        use_lut=False, istart=1, iend=16, **kw)
+    out = rtp.rt_random_overlap_pallas(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cf, oc,
+        cloudy=cloudy, gate_thresh=0.5, interpret=True, **kw)
+    names = ["totuflux", "totdflux", "totuclfl", "totdclfl"]
+    if idrv:
+        names += ["dtotuflux_dt", "dtotuclfl_dt"]
+    for name in names:
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, atol=2e-6 * scale,
+                                   err_msg=name)
+
+
+def test_grad_flows_through_custom_vjp(stack):
+    model, prof, sc, taut, fracs, cldf, odcld = stack
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+
+    def loss(t):
+        out = rtp.rt_random_overlap_pallas(
+            t, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+            sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+            cldf, odcld, cloudy=True, gate_thresh=0.5, interpret=True,
+            **kw)
+        return jnp.sum(out.totuflux)
+
+    g = jax.grad(loss)(taut)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
