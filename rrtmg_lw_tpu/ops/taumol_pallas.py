@@ -486,16 +486,18 @@ class PallasTaumol:
             si = {name: sci_ref[i: i + 1, :]
                   for i, name in enumerate(I_FIELDS)}
             li = len(I_FIELDS)
-            lm = sci_ref[li: li + 1, :] > 0              # (1, T)
+            lm_row = sci_ref[li: li + 1, :]              # (1, T) int
+            lm = lm_row > 0
             jp, jt, jt1 = si["jp"], si["jt"], si["jt1"]
 
-            W0l = _onehot_T(jnp.clip(jp * 5 + jt, 0, 64), 65, dtype)
-            W1l = _onehot_T(jnp.clip((jp + 1) * 5 + jt1, 0, 64), 65,
-                            dtype)
-            W0u = _onehot_T(jnp.clip((jp - 12) * 5 + jt, 0, 234), 235,
-                            dtype)
-            W1u = _onehot_T(jnp.clip((jp - 11) * 5 + jt1, 0, 234), 235,
-                            dtype)
+            # Cells arrive layer-major, so a tile is usually entirely
+            # below or entirely above laytrop: evaluate each region only
+            # when the tile contains cells in it (both run on the few
+            # boundary-straddling tiles; the lm merge keeps mixed tiles
+            # exact).
+            any_lower = jnp.max(lm_row) > 0
+            any_upper = jnp.min(lm_row) < 1
+
             Wself = _onehot_T(si["indself"], 10, dtype)
             Wfor = _onehot_T(si["indfor"], 4, dtype)
             Wmin = _onehot_T(si["indminor"], 19, dtype)
@@ -503,29 +505,52 @@ class PallasTaumol:
             def mdot(ref, W):
                 return _dot(ref[:], W) if ref is not None else None
 
-            ctx_l = _Ctx(sf, si, _dot(keyl_ref[:], W0l),
-                         _dot(keyl_ref[:], W1l), mdot(selfl_ref, Wself),
-                         mdot(forl_ref, Wfor), mdot(minorl_ref, Wmin),
-                         fracl_ref[:] if fracl_ref is not None else None,
-                         cfcl_ref[:] if cfcl_ref is not None else None,
-                         low)
-            ctx_u = _Ctx(sf, si, _dot(keyu_ref[:], W0u),
-                         _dot(keyu_ref[:], W1u), mdot(selfu_ref, Wself),
-                         mdot(foru_ref, Wfor), mdot(minoru_ref, Wmin),
-                         fracu_ref[:] if fracu_ref is not None else None,
-                         cfcu_ref[:] if cfcu_ref is not None else None,
-                         up)
+            @pl.when(any_lower)
+            def _lower():
+                W0l = _onehot_T(jnp.clip(jp * 5 + jt, 0, 64), 65, dtype)
+                W1l = _onehot_T(jnp.clip((jp + 1) * 5 + jt1, 0, 64), 65,
+                                dtype)
+                ctx_l = _Ctx(
+                    sf, si, _dot(keyl_ref[:], W0l), _dot(keyl_ref[:], W1l),
+                    mdot(selfl_ref, Wself), mdot(forl_ref, Wfor),
+                    mdot(minorl_ref, Wmin),
+                    fracl_ref[:] if fracl_ref is not None else None,
+                    cfcl_ref[:] if cfcl_ref is not None else None,
+                    low)
+                taug_parts, frac_parts = [], []
+                for bs in BAND_SPECS:
+                    tl, fl = _region_eval(bs.lower, bs.band, True, ctx_l,
+                                          chi_np, dtype)
+                    taug_parts.append(tl)
+                    frac_parts.append(fl)
+                taug_ref[:] = jnp.concatenate(taug_parts, axis=0)
+                fracs_ref[:] = jnp.concatenate(frac_parts, axis=0)
 
-            taug_parts, frac_parts = [], []
-            for bs in BAND_SPECS:
-                tl, fl = _region_eval(bs.lower, bs.band, True, ctx_l,
-                                      chi_np, dtype)
-                tu, fu = _region_eval(bs.upper, bs.band, False, ctx_u,
-                                      chi_np, dtype)
-                taug_parts.append(jnp.where(lm, tl, tu))
-                frac_parts.append(jnp.where(lm, fl, fu))
-            taug_ref[:] = jnp.concatenate(taug_parts, axis=0)
-            fracs_ref[:] = jnp.concatenate(frac_parts, axis=0)
+            @pl.when(any_upper)
+            def _upper():
+                W0u = _onehot_T(jnp.clip((jp - 12) * 5 + jt, 0, 234),
+                                235, dtype)
+                W1u = _onehot_T(jnp.clip((jp - 11) * 5 + jt1, 0, 234),
+                                235, dtype)
+                ctx_u = _Ctx(
+                    sf, si, _dot(keyu_ref[:], W0u), _dot(keyu_ref[:], W1u),
+                    mdot(selfu_ref, Wself), mdot(foru_ref, Wfor),
+                    mdot(minoru_ref, Wmin),
+                    fracu_ref[:] if fracu_ref is not None else None,
+                    cfcu_ref[:] if cfcu_ref is not None else None,
+                    up)
+                taug_parts, frac_parts = [], []
+                for bs in BAND_SPECS:
+                    tu, fu = _region_eval(bs.upper, bs.band, False,
+                                          ctx_u, chi_np, dtype)
+                    taug_parts.append(tu)
+                    frac_parts.append(fu)
+                tu_all = jnp.concatenate(taug_parts, axis=0)
+                fu_all = jnp.concatenate(frac_parts, axis=0)
+                # pure-upper tiles never wrote taug_ref; lm is all-false
+                # there so the where never selects the unwritten buffer
+                taug_ref[:] = jnp.where(lm, taug_ref[:], tu_all)
+                fracs_ref[:] = jnp.where(lm, fracs_ref[:], fu_all)
 
         tables = self._packed
         live = [t is not None for t in tables]
@@ -576,12 +601,15 @@ class PallasTaumol:
         Cp = ((C + T - 1) // T) * T
         pad = Cp - C
 
+        # layer-major cell order: tiles become laytrop-pure (all cells
+        # of a tile in the same region) so the kernel can skip the
+        # unused region's evaluation entirely
         def fvec(x):
-            v = x.reshape(-1).astype(self.dtype)
+            v = x.T.reshape(-1).astype(self.dtype)
             return jnp.pad(v, (0, pad)) if pad else v
 
         def ivec(x):
-            v = x.reshape(-1).astype(jnp.int32)
+            v = x.T.reshape(-1).astype(jnp.int32)
             return jnp.pad(v, (0, pad)) if pad else v
 
         cols = [fvec(getattr(sc, n)) for n in F_FIELDS]
@@ -595,6 +623,6 @@ class PallasTaumol:
         sci = jnp.stack(ints)
 
         taug, fracs = self._kernel(Cp, scf, sci, *self._tables_dev)
-        taug = taug[:, :C].T.reshape(B, L, 140)
-        fracs = fracs[:, :C].T.reshape(B, L, 140)
+        taug = jnp.transpose(taug[:, :C].reshape(140, L, B), (2, 1, 0))
+        fracs = jnp.transpose(fracs[:, :C].reshape(140, L, B), (2, 1, 0))
         return taug, fracs
