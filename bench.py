@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 REPO = pathlib.Path(__file__).resolve().parent
 
+# persistent compile cache: Pallas kernels are expensive to build
+jax.config.update("jax_compilation_cache_dir",
+                  str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def _bench_one(step, args, iters):
     """Chained timing: each iteration's input depends on the previous

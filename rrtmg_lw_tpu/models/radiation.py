@@ -110,17 +110,39 @@ class RRTMGLW:
         dtype = cfg.jdtype
         B, L = prof.pavel.shape
 
-        sc, taut, fracs = self.optical_depth(prof, istart=cfg.istart)
-        if self.spec_constraint is not None:
-            taut = jax.lax.with_sharding_constraint(
-                taut, self.spec_constraint)
-            fracs = jax.lax.with_sharding_constraint(
-                fracs, self.spec_constraint)
-
         gsel = self._gselect()
-        if len(gsel) != taut.shape[-1]:
-            taut = taut[..., gsel]
-            fracs = fracs[..., gsel]
+        # native path: taug/fracs stay in the taumol kernel's (G, L, B)
+        # layout and flow straight into the RT kernel (aerosol folded in
+        # there) — no (B, L, G) relayout passes in between.  rtrnmr
+        # (deterministic max-random) still consumes (B, L, G).
+        uses_rtmr = (clouds is not None and cfg.imca != 1
+                     and cfg.icld >= 2)
+        native = (self.rt_pallas and not uses_rtmr
+                  and hasattr(self.engine, "forward_native"))
+        if native:
+            sc = setcoef(prof, self.static, istart=cfg.istart,
+                         idrv=cfg.idrv)
+            taut, fracs = self.engine.forward_native(sc, prof)
+            if len(gsel) != taut.shape[0]:
+                taut = taut[gsel]
+                fracs = fracs[gsel]
+            if self.spec_constraint is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import COLUMNS, SPEC
+                nat = NamedSharding(self.spec_constraint.mesh,
+                                    PartitionSpec(SPEC, None, COLUMNS))
+                taut = jax.lax.with_sharding_constraint(taut, nat)
+                fracs = jax.lax.with_sharding_constraint(fracs, nat)
+        else:
+            sc, taut, fracs = self.optical_depth(prof, istart=cfg.istart)
+            if self.spec_constraint is not None:
+                taut = jax.lax.with_sharding_constraint(
+                    taut, self.spec_constraint)
+                fracs = jax.lax.with_sharding_constraint(
+                    fracs, self.spec_constraint)
+            if len(gsel) != taut.shape[-1]:
+                taut = taut[..., gsel]
+                fracs = fracs[..., gsel]
 
         def run_rt(cldf_g, odcld_g, cloudy, thresh):
             if self.rt_pallas:
@@ -128,10 +150,12 @@ class RRTMGLW:
                 return rtp.rt_random_overlap_pallas(
                     taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
                     sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
-                    cldf_g, odcld_g, cloudy=cloudy, gate_thresh=thresh,
+                    cldf_g, odcld_g,
+                    taua=prof.taua if native else None,
+                    cloudy=cloudy, gate_thresh=thresh,
                     static=self.static_np, idrv=cfg.idrv,
                     heatfac_val=self.heatfac, istart=cfg.istart,
-                    iend=cfg.iend)
+                    iend=cfg.iend, native=native)
             gate = (cldf_g >= thresh) if cloudy \
                 else jnp.zeros(taut.shape, bool)
             return rt.rt_random_overlap(
@@ -145,7 +169,7 @@ class RRTMGLW:
                 iend=cfg.iend)
 
         if cfg.icld == 0 or clouds is None:
-            zero_g = jnp.zeros(taut.shape, dtype)
+            zero_g = jnp.zeros((B, L, len(gsel)), dtype)
             out = run_rt(zero_g, zero_g, False, 2.0)
         elif cfg.imca == 1:
             assert isinstance(clouds, McicaClouds)
@@ -165,7 +189,7 @@ class RRTMGLW:
             odcld_g = taucloud[..., self.ngb0][..., gsel]
             if cfg.icld == 1:
                 cldf_g = jnp.broadcast_to(
-                    clouds.cldfrac[..., None], taut.shape)
+                    clouds.cldfrac[..., None], (B, L, len(gsel)))
                 out = run_rt(cldf_g, odcld_g, True, 1.0e-6)
             else:
                 out = rtmr.rt_maxrandom(

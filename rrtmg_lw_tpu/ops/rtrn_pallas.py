@@ -62,7 +62,7 @@ def _gas_factors(od):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv,
+def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                   gate_thresh, ngb0_key, delwave_key, interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples."""
     ngb0 = np.asarray(ngb0_key, np.int32)            # (G,) band of g
@@ -78,12 +78,15 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv,
                          ).astype(np.float32)
 
     def kernel(*refs):
+        refs = list(refs)
+        ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r = refs[:7]
+        k = 7
+        taua_r = None
+        if with_taua:
+            taua_r = refs[k]; k += 1
         if cloudy:
-            (ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r,
-             cldf_r, odcld_r, out_r, rad_s, flag_s) = refs
-        else:
-            (ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r,
-             out_r, rad_s, flag_s) = refs
+            cldf_r, odcld_r = refs[k:k + 2]; k += 2
+        out_r, rad_s, flag_s = refs[k:k + 3]
         j = pl.program_id(1)
         down = j < nc
         chunk = jnp.where(down, nc - 1 - j, j - nc)
@@ -124,6 +127,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv,
 
         def common(k):
             t = taut_r[k]
+            if with_taua:
+                t = t + edot(taua_r[k])      # grey per-band aerosol add
             f = fracs_r[k]
             blay = edot(play_r[k])
             od = jnp.maximum(secd_g * t, 0.0)
@@ -243,6 +248,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv,
                 gxb, gxb, bxb, bxb, bxb,
                 pl.BlockSpec((64, BT), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM)]
+    if with_taua:
+        in_specs += [bxb]
     if cloudy:
         in_specs += [gxb, gxb]
 
@@ -273,6 +280,10 @@ def _prep(x, Lp, G_pad, Bp, dims="lgb"):
         x = jnp.moveaxis(x, 0, 2)                   # (L, G, B)
         pads = ((0, Lp - x.shape[0]), (0, G_pad - x.shape[1]),
                 (0, Bp - x.shape[2]))
+    elif dims == "glb":                             # native (G, L, B)
+        x = jnp.moveaxis(x, 0, 1)                   # lane dim untouched
+        pads = ((0, Lp - x.shape[0]), (0, G_pad - x.shape[1]),
+                (0, Bp - x.shape[2]))
     else:                                           # (B, L, 16) -> (L,16,B)
         x = jnp.moveaxis(x, 0, 2)
         pads = ((0, Lp - x.shape[0]), (0, 0), (0, Bp - x.shape[2]))
@@ -281,15 +292,20 @@ def _prep(x, Lp, G_pad, Bp, dims="lgb"):
 
 def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                      dplankbnd_dt, semiss, pwvcm, cldf_g, odcld_g,
-                     *, gate_thresh, ngb0, delwave, cloudy, idrv,
-                     tile=128, lc_clear=20, lc_cloudy=12,
-                     interpret=False):
+                     taua=None, *, gate_thresh, ngb0, delwave, cloudy,
+                     idrv, native=False, tile=128, lc_clear=20,
+                     lc_cloudy=12, interpret=False):
     """Band-integrated fluxes (B, L+1) x {up, down, clrup, clrdn}
     [+ dup/dT, dclrup/dT] via the fused Pallas sweep kernel.
 
-    cldf_g/odcld_g are ignored when cloudy=False.
+    cldf_g/odcld_g are ignored when cloudy=False.  With native=True,
+    taut/fracs arrive in the taumol kernel's (G, L, B) layout and taua
+    (B, L, 16) is added per band inside the kernel.
     """
-    B, L, G = taut.shape
+    if native:
+        G, L, B = taut.shape
+    else:
+        B, L, G = taut.shape
     dtype = taut.dtype
     assert dtype == jnp.float32
     Lc = lc_cloudy if cloudy else lc_clear
@@ -306,20 +322,24 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
         axis=0)                                      # (64, B)
     surf = jnp.pad(surf, ((0, 0), (0, Bp - B)))
 
+    spec_dims = "glb" if native else "lgb"
     arrays = [
-        _prep(taut, Lp, G_pad, Bp),
-        _prep(fracs, Lp, G_pad, Bp),
+        _prep(taut, Lp, G_pad, Bp, spec_dims),
+        _prep(fracs, Lp, G_pad, Bp, spec_dims),
         _prep(planklay, Lp, G_pad, Bp, "lbb"),
         _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb"),
         _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb"),
         surf,
     ]
+    with_taua = taua is not None
+    if with_taua:
+        arrays.append(_prep(taua, Lp, G_pad, Bp, "lbb"))
     if cloudy:
         arrays.append(_prep(cldf_g, Lp, G_pad, Bp))
         arrays.append(_prep(odcld_g, Lp, G_pad, Bp))
 
     run = _build_kernel(L, Lp, Lc, G, G_pad, tile, L1p, bool(cloudy),
-                        bool(idrv), float(gate_thresh),
+                        bool(idrv), with_taua, float(gate_thresh),
                         tuple(int(v) for v in ngb0),
                         tuple(float(v) for v in delwave),
                         bool(interpret))
@@ -330,34 +350,43 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
 
 def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                              dplankbnd_dt, semiss, pwvcm, pz, cldf_g,
-                             odcld_g, *, cloudy, gate_thresh, static,
-                             idrv, heatfac_val, istart=1, iend=16,
-                             interpret=False):
+                             odcld_g, taua=None, *, cloudy, gate_thresh,
+                             static, idrv, heatfac_val, istart=1,
+                             iend=16, native=False, interpret=False):
     """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
 
     Forward fluxes come from the Pallas kernel; reverse-mode runs
-    through the (numerically identical) XLA implementation.
+    through the (numerically identical) XLA implementation.  With
+    native=True taut/fracs are (G, L, B) straight from the Pallas
+    taumol kernel and taua (B, L, 16) is folded in on the fly.
     """
     ngb_full = np.asarray(static["ngb"]) - 1
     gsel = np.nonzero((ngb_full >= istart - 1) & (ngb_full <= iend - 1))[0]
     ngb0 = ngb_full[gsel]
     delwave = np.asarray(static["delwave"])
-    B, L, G = taut.shape
+    G = taut.shape[0] if native else taut.shape[-1]
     if len(ngb0) != G:
         raise ValueError("taut g-dim must match selected bands")
 
     flux_kw = dict(gate_thresh=gate_thresh, ngb0=ngb0, delwave=delwave,
-                   cloudy=cloudy, idrv=idrv, interpret=interpret)
+                   cloudy=cloudy, idrv=idrv, native=native,
+                   interpret=interpret)
 
     @jax.custom_vjp
     def fluxes(taut, fracs, planklay, planklev, plankbnd, dplankbnd_dt,
-               semiss, pwvcm, pz, cldf_g, odcld_g):
+               semiss, pwvcm, pz, cldf_g, odcld_g, taua):
         return rt_fluxes_pallas(taut, fracs, planklay, planklev,
                                 plankbnd, dplankbnd_dt, semiss, pwvcm,
-                                cldf_g, odcld_g, **flux_kw)
+                                cldf_g, odcld_g, taua, **flux_kw)
 
     def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
-                   dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g):
+                   dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
+                   taua):
+        if native:
+            taut = jnp.transpose(taut, (2, 1, 0))
+            fracs = jnp.transpose(fracs, (2, 1, 0))
+        if taua is not None:
+            taut = taut + taua[..., ngb0]
         gate = cldf_g >= gate_thresh if cloudy \
             else jnp.zeros(taut.shape, bool)
         cly = jnp.any(gate, axis=-1)
@@ -381,7 +410,7 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
     fluxes.defvjp(fwd, bwd)
 
     res = fluxes(taut, fracs, planklay, planklev, plankbnd,
-                 dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g)
+                 dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g, taua)
     totuflux, totdflux, totuclfl, totdclfl = res[:4]
 
     fnet = totuflux - totdflux

@@ -455,19 +455,31 @@ class PallasTaumol:
     # ------------------------------------------------------------------
     def _build_vjp(self):
         @jax.custom_vjp
-        def call(sc, prof):
-            return self._forward(sc, prof)
+        def call_native(sc, prof):
+            return self._forward_native(sc, prof)
 
-        def call_fwd(sc, prof):
-            return self._forward(sc, prof), (sc, prof)
+        def fwd(sc, prof):
+            return self._forward_native(sc, prof), (sc, prof)
 
-        def call_bwd(res, ct):
+        def bwd(res, ct):
             sc, prof = res
-            _, vjp = jax.vjp(lambda s, p: self._xla_engine(s, p),
-                             sc, prof)
+
+            def f(s, p):
+                tg, fr = self._xla_engine(s, p)
+                return (jnp.transpose(tg, (2, 1, 0)),
+                        jnp.transpose(fr, (2, 1, 0)))
+
+            _, vjp = jax.vjp(f, sc, prof)
             return vjp(ct)
 
-        call.defvjp(call_fwd, call_bwd)
+        call_native.defvjp(fwd, bwd)
+        self._call_native = call_native
+
+        def call(sc, prof):
+            tg, fr = call_native(sc, prof)
+            return (jnp.transpose(tg, (2, 1, 0)),
+                    jnp.transpose(fr, (2, 1, 0)))
+
         return call
 
     # ------------------------------------------------------------------
@@ -594,7 +606,23 @@ class PallasTaumol:
     def __call__(self, sc: SetcoefOut, prof: Profile):
         return self._call(sc, prof)
 
+    def forward_native(self, sc: SetcoefOut, prof: Profile):
+        """taug, fracs in the kernel's native (G, L, B) layout — no
+        relayout pass; consumed directly by the Pallas RT sweep."""
+        return self._call_native(sc, prof)
+
+    def _forward_native(self, sc: SetcoefOut, prof: Profile):
+        taug, fracs = self._forward_flat(sc, prof)
+        B, L = sc.jp.shape
+        return (taug[:, :B * L].reshape(140, L, B),
+                fracs[:, :B * L].reshape(140, L, B))
+
     def _forward(self, sc: SetcoefOut, prof: Profile):
+        taug, fracs = self._forward_native(sc, prof)
+        return (jnp.transpose(taug, (2, 1, 0)),
+                jnp.transpose(fracs, (2, 1, 0)))
+
+    def _forward_flat(self, sc: SetcoefOut, prof: Profile):
         B, L = sc.jp.shape
         C = B * L
         T = self.tile
@@ -622,7 +650,4 @@ class PallasTaumol:
         ints.append(ivec(sc.laytrop_mask.astype(jnp.int32)))
         sci = jnp.stack(ints)
 
-        taug, fracs = self._kernel(Cp, scf, sci, *self._tables_dev)
-        taug = jnp.transpose(taug[:, :C].reshape(140, L, B), (2, 1, 0))
-        fracs = jnp.transpose(fracs[:, :C].reshape(140, L, B), (2, 1, 0))
-        return taug, fracs
+        return self._kernel(Cp, scf, sci, *self._tables_dev)
