@@ -168,12 +168,13 @@ class RRTMGLW:
                 heatfac_val=self.heatfac, istart=cfg.istart,
                 iend=cfg.iend)
 
+        bounds_ok = None
         if cfg.icld == 0 or clouds is None:
             zero_g = jnp.zeros((B, L, len(gsel)), dtype)
             out = run_rt(zero_g, zero_g, False, 2.0)
         elif cfg.imca == 1:
             assert isinstance(clouds, McicaClouds)
-            taucmc, _ = cld_ops.cldprmc(
+            taucmc, bounds_ok = cld_ops.cldprmc(
                 clouds, self.static_np, inflag=cfg.inflag,
                 iceflag=cfg.iceflag, liqflag=cfg.liqflag)
             cldf_g = clouds.cldfmc[..., gsel]
@@ -183,7 +184,7 @@ class RRTMGLW:
             out = run_rt(cldf_g, odcld_g, True, 0.5)
         else:
             assert isinstance(clouds, BandClouds)
-            taucloud, _ = cld_ops.cldprop(
+            taucloud, bounds_ok = cld_ops.cldprop(
                 clouds, self.static_np, inflag=cfg.inflag,
                 iceflag=cfg.iceflag, liqflag=cfg.liqflag)
             odcld_g = taucloud[..., self.ngb0][..., gsel]
@@ -215,9 +216,9 @@ class RRTMGLW:
             htr = self.heatfac * (fnet[:, :-1] - fnet[:, 1:]) / dp
             htrc = self.heatfac * (fnetc[:, :-1] - fnetc[:, 1:]) / dp
             return Fluxes(uflx, dflx, htr, uflxc, out.totdclfl, htrc,
-                          duflx_dt, duflxc_dt)
+                          duflx_dt, duflxc_dt, bounds_ok)
         return Fluxes(uflx, dflx, out.htr, out.totuclfl, out.totdclfl,
-                      out.htrc, duflx_dt, duflxc_dt)
+                      out.htrc, duflx_dt, duflxc_dt, bounds_ok)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

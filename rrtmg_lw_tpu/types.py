@@ -141,3 +141,9 @@ class Fluxes(NamedTuple):
     hrc: jnp.ndarray           # (B, L)
     duflx_dt: Optional[jnp.ndarray] = None   # (B, L+1)
     duflxc_dt: Optional[jnp.ndarray] = None  # (B, L+1)
+    # per-(column, layer) input-validity diagnostic: False where cloud
+    # particle sizes were outside the parameterization range and were
+    # clamped.  The reference hard-stops instead
+    # (rrtmg_lw_cldprmc.f90:204-253); a jitted batched kernel cannot,
+    # so the flag is surfaced for post-hoc checking.
+    cld_bounds_ok: Optional[jnp.ndarray] = None  # (B, L) bool
