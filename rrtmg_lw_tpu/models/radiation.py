@@ -119,7 +119,17 @@ class RRTMGLW:
                      and cfg.icld >= 2)
         native = (self.rt_pallas and not uses_rtmr
                   and hasattr(self.engine, "forward_native"))
-        if native:
+        # blocked: taumol emits the RT kernel's padded (L, G_pad, B)
+        # block layout directly — zero relayout between the two kernels
+        blocked = (native and len(gsel) == 140
+                   and self.spec_constraint is None
+                   and hasattr(self.engine, "supports_blocked")
+                   and self.engine.supports_blocked(B, L))
+        if blocked:
+            sc = setcoef(prof, self.static, istart=cfg.istart,
+                         idrv=cfg.idrv)
+            taut, fracs = self.engine.forward_blocked(sc, prof)
+        elif native:
             sc = setcoef(prof, self.static, istart=cfg.istart,
                          idrv=cfg.idrv)
             taut, fracs = self.engine.forward_native(sc, prof)
@@ -155,7 +165,8 @@ class RRTMGLW:
                     cloudy=cloudy, gate_thresh=thresh,
                     static=self.static_np, idrv=cfg.idrv,
                     heatfac_val=self.heatfac, istart=cfg.istart,
-                    iend=cfg.iend, native=native)
+                    iend=cfg.iend,
+                    native="blocked" if blocked else native)
             gate = (cldf_g >= thresh) if cloudy \
                 else jnp.zeros(taut.shape, bool)
             return rt.rt_random_overlap(

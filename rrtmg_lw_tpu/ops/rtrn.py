@@ -75,13 +75,14 @@ def _gas_factors(od, luts, use_lut):
         tf_big = jnp.take(luts["tfn_tbl"], it)
         od_big = jnp.take(luts["tau_tbl"], it)
     else:
-        e = jnp.exp(-od)
-        atrans_big = 1.0 - e
         # clamp at the branch threshold: values in the selected region
-        # are unchanged and the unselected branch stays finite under
-        # reverse-mode AD (1/od would give inf cotangents at od=0)
+        # (od > 0.06, where od_safe == od) are unchanged and the
+        # unselected branch stays finite under reverse-mode AD
+        # (1/od would give inf cotangents at od=0).  One exp serves
+        # both outputs — the small branch never reads it.
         od_safe = jnp.maximum(od, 0.06)
         e_safe = jnp.exp(-od_safe)
+        atrans_big = 1.0 - e_safe
         tf_big = 1.0 - 2.0 * (1.0 / od_safe - e_safe / (1.0 - e_safe))
         od_big = od
     atrans = jnp.where(small, atrans_small, atrans_big)
@@ -100,10 +101,9 @@ def _tot_factors(odtot, luts, use_lut):
         atot_big = 1.0 - jnp.take(luts["exp_tbl"], it)
         tf_big = jnp.take(luts["tfn_tbl"], it)
     else:
-        e = jnp.exp(-odtot)
-        atot_big = 1.0 - e
         ots = jnp.maximum(odtot, 0.06)        # see _gas_factors
         e_safe = jnp.exp(-ots)
+        atot_big = 1.0 - e_safe
         tf_big = 1.0 - 2.0 * (1.0 / ots - e_safe / (1.0 - e_safe))
     return (jnp.where(small, atot_small, atot_big),
             jnp.where(small, tf_small, tf_big))

@@ -52,10 +52,9 @@ def _pad_to(n, m):
 
 def _gas_factors(od):
     small = od <= 0.06
-    e = jnp.exp(-od)
     od_safe = jnp.maximum(od, 0.06)           # match rtrn._gas_factors
-    e_safe = jnp.exp(-od_safe)
-    atrans = jnp.where(small, od - 0.5 * od * od, 1.0 - e)
+    e_safe = jnp.exp(-od_safe)                # one exp serves both:
+    atrans = jnp.where(small, od - 0.5 * od * od, 1.0 - e_safe)
     tf = jnp.where(small, REC_6 * od,
                    1.0 - 2.0 * (1.0 / od_safe - e_safe / (1.0 - e_safe)))
     return atrans, tf
@@ -300,9 +299,17 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
 
     cldf_g/odcld_g are ignored when cloudy=False.  With native=True,
     taut/fracs arrive in the taumol kernel's (G, L, B) layout and taua
-    (B, L, 16) is added per band inside the kernel.
+    (B, L, 16) is added per band inside the kernel.  With
+    native="blocked" they arrive already in this kernel's padded
+    (L, G_pad, B) block layout (zero relayout: taumol wrote it).
     """
-    if native:
+    blocked = native == "blocked"
+    if blocked:
+        L, G_pad_in, B = taut.shape
+        G = len(ngb0)
+        if G_pad_in != _pad_to(G, 8):
+            raise ValueError("blocked taut g-pad mismatch")
+    elif native:
         G, L, B = taut.shape
     else:
         B, L, G = taut.shape
@@ -310,6 +317,13 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     assert dtype == jnp.float32
     Lc = lc_cloudy if cloudy else lc_clear
     Lc = min(Lc, L)
+    if blocked:
+        # blocked arrays cannot be padded: Lc must divide L and the
+        # column tile must divide B (caller gates on this)
+        divs = [d for d in range(Lc, 0, -1) if L % d == 0]
+        Lc = divs[0]
+        if L % Lc or B % tile:
+            raise ValueError("blocked layout needs Lc | L and tile | B")
     Lp = _pad_to(L, Lc)
     G_pad = _pad_to(G, 8)
     Bp = _pad_to(B, tile)
@@ -324,8 +338,8 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
 
     spec_dims = "glb" if native else "lgb"
     arrays = [
-        _prep(taut, Lp, G_pad, Bp, spec_dims),
-        _prep(fracs, Lp, G_pad, Bp, spec_dims),
+        taut if blocked else _prep(taut, Lp, G_pad, Bp, spec_dims),
+        fracs if blocked else _prep(fracs, Lp, G_pad, Bp, spec_dims),
         _prep(planklay, Lp, G_pad, Bp, "lbb"),
         _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb"),
         _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb"),
@@ -352,7 +366,8 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                              dplankbnd_dt, semiss, pwvcm, pz, cldf_g,
                              odcld_g, taua=None, *, cloudy, gate_thresh,
                              static, idrv, heatfac_val, istart=1,
-                             iend=16, native=False, interpret=False):
+                             iend=16, native=False, tile=128,
+                             interpret=False):
     """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
 
     Forward fluxes come from the Pallas kernel; reverse-mode runs
@@ -364,12 +379,17 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
     gsel = np.nonzero((ngb_full >= istart - 1) & (ngb_full <= iend - 1))[0]
     ngb0 = ngb_full[gsel]
     delwave = np.asarray(static["delwave"])
-    G = taut.shape[0] if native else taut.shape[-1]
-    if len(ngb0) != G:
-        raise ValueError("taut g-dim must match selected bands")
+    blocked = native == "blocked"
+    if blocked:
+        if taut.shape[1] != -(-len(ngb0) // 8) * 8:
+            raise ValueError("blocked taut g-pad must match bands")
+    else:
+        G = taut.shape[0] if native else taut.shape[-1]
+        if len(ngb0) != G:
+            raise ValueError("taut g-dim must match selected bands")
 
     flux_kw = dict(gate_thresh=gate_thresh, ngb0=ngb0, delwave=delwave,
-                   cloudy=cloudy, idrv=idrv, native=native,
+                   cloudy=cloudy, idrv=idrv, native=native, tile=tile,
                    interpret=interpret)
 
     @jax.custom_vjp
@@ -382,7 +402,11 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
     def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
                    taua):
-        if native:
+        if blocked:
+            B = planklay.shape[0]
+            taut = jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1))
+            fracs = jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1))
+        elif native:
             taut = jnp.transpose(taut, (2, 1, 0))
             fracs = jnp.transpose(fracs, (2, 1, 0))
         if taua is not None:

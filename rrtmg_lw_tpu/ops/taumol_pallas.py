@@ -450,6 +450,7 @@ class PallasTaumol:
         self._tables_dev = tuple(jnp.asarray(t) for t in self._packed
                                  if t is not None)
         self._kernel = self._build()
+        self._kernel_blocked = self._build(blocked=True)
         self._call = self._build_vjp()
 
     # ------------------------------------------------------------------
@@ -475,6 +476,30 @@ class PallasTaumol:
         call_native.defvjp(fwd, bwd)
         self._call_native = call_native
 
+        @jax.custom_vjp
+        def call_blocked(sc, prof):
+            return self._forward_blocked(sc, prof)
+
+        def fwd_b(sc, prof):
+            return self._forward_blocked(sc, prof), (sc, prof)
+
+        def bwd_b(res, ct):
+            sc, prof = res
+
+            def f(s, p):
+                tg, fr = self._xla_engine(s, p)          # (B, L, 140)
+                pads = ((0, 0), (0, 4), (0, 0))
+
+                def to_blocked(x):
+                    return jnp.pad(jnp.transpose(x, (1, 2, 0)), pads)
+                return to_blocked(tg), to_blocked(fr)
+
+            _, vjp = jax.vjp(f, sc, prof)
+            return vjp(ct)
+
+        call_blocked.defvjp(fwd_b, bwd_b)
+        self._call_blocked = call_blocked
+
         def call(sc, prof):
             tg, fr = call_native(sc, prof)
             return (jnp.transpose(tg, (2, 1, 0)),
@@ -483,11 +508,27 @@ class PallasTaumol:
         return call
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _build(self, blocked: bool = False):
         T = self.tile
         low, up = self.low, self.up
         chi_np = self.chi_np
         dtype = self.dtype
+        GP = _pad8(140)            # blocked-mode g rows (RT kernel layout)
+
+        if blocked:
+            def read_out(ref):
+                return ref[0, :140, :]
+
+            def write_out(ref, arr):      # arr (140, T)
+                ref[0, :, :] = jnp.concatenate(
+                    [arr, jnp.zeros((GP - 140, arr.shape[1]),
+                                    arr.dtype)], axis=0)
+        else:
+            def read_out(ref):
+                return ref[:]
+
+            def write_out(ref, arr):
+                ref[:] = arr
 
         def kernel(scf_ref, sci_ref, keyl_ref, selfl_ref, forl_ref,
                    minorl_ref, fracl_ref, cfcl_ref, keyu_ref, selfu_ref,
@@ -535,8 +576,8 @@ class PallasTaumol:
                                           chi_np, dtype)
                     taug_parts.append(tl)
                     frac_parts.append(fl)
-                taug_ref[:] = jnp.concatenate(taug_parts, axis=0)
-                fracs_ref[:] = jnp.concatenate(frac_parts, axis=0)
+                write_out(taug_ref, jnp.concatenate(taug_parts, axis=0))
+                write_out(fracs_ref, jnp.concatenate(frac_parts, axis=0))
 
             @pl.when(any_upper)
             def _upper():
@@ -561,8 +602,10 @@ class PallasTaumol:
                 fu_all = jnp.concatenate(frac_parts, axis=0)
                 # pure-upper tiles never wrote taug_ref; lm is all-false
                 # there so the where never selects the unwritten buffer
-                taug_ref[:] = jnp.where(lm, taug_ref[:], tu_all)
-                fracs_ref[:] = jnp.where(lm, fracs_ref[:], fu_all)
+                write_out(taug_ref,
+                          jnp.where(lm, read_out(taug_ref), tu_all))
+                write_out(fracs_ref,
+                          jnp.where(lm, read_out(fracs_ref), fu_all))
 
         tables = self._packed
         live = [t is not None for t in tables]
@@ -581,6 +624,30 @@ class PallasTaumol:
             pl.BlockSpec((NSI, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ] + [tab_spec(t) for t in tables if t is not None]
+
+        if blocked:
+            # output in the RT sweep kernel's (L, G_pad, B) block layout:
+            # grid step i covers layer i // (B//T), columns (i % (B//T))*T
+            @functools.partial(jax.jit, static_argnums=(0, 1))
+            def run(L, B, scf, sci, *tabs):
+                nbt = B // T
+                ospec = pl.BlockSpec((1, GP, T),
+                                     lambda i: (i // nbt, 0, i % nbt),
+                                     memory_space=pltpu.VMEM)
+                return pl.pallas_call(
+                    kernel_adapter,
+                    out_shape=(
+                        jax.ShapeDtypeStruct((L, GP, B), jnp.float32),
+                        jax.ShapeDtypeStruct((L, GP, B), jnp.float32)),
+                    grid=(L * nbt,),
+                    in_specs=in_specs,
+                    out_specs=(ospec, ospec),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                    interpret=self.interpret,
+                )(scf, sci, *tabs)
+
+            return run
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def run(C, scf, sci, *tabs):
@@ -611,6 +678,23 @@ class PallasTaumol:
         relayout pass; consumed directly by the Pallas RT sweep."""
         return self._call_native(sc, prof)
 
+    def supports_blocked(self, B: int, L: int) -> bool:
+        return B % self.tile == 0
+
+    def forward_blocked(self, sc: SetcoefOut, prof: Profile):
+        """taug, fracs already in the RT sweep kernel's padded
+        (L, G_pad=144, B) block layout — the two Pallas kernels
+        exchange data through HBM with zero relayout/pad passes.
+        Requires B % tile == 0 (each cell tile within one layer)."""
+        return self._call_blocked(sc, prof)
+
+    def _forward_blocked(self, sc: SetcoefOut, prof: Profile):
+        B, L = sc.jp.shape
+        if B % self.tile:
+            raise ValueError("blocked layout needs B % tile == 0")
+        scf, sci = self._pack(sc, prof, pad=0)
+        return self._kernel_blocked(L, B, scf, sci, *self._tables_dev)
+
     def _forward_native(self, sc: SetcoefOut, prof: Profile):
         taug, fracs = self._forward_flat(sc, prof)
         B, L = sc.jp.shape
@@ -622,13 +706,7 @@ class PallasTaumol:
         return (jnp.transpose(taug, (2, 1, 0)),
                 jnp.transpose(fracs, (2, 1, 0)))
 
-    def _forward_flat(self, sc: SetcoefOut, prof: Profile):
-        B, L = sc.jp.shape
-        C = B * L
-        T = self.tile
-        Cp = ((C + T - 1) // T) * T
-        pad = Cp - C
-
+    def _pack(self, sc: SetcoefOut, prof: Profile, pad: int):
         # layer-major cell order: tiles become laytrop-pure (all cells
         # of a tile in the same region) so the kernel can skip the
         # unused region's evaluation entirely
@@ -649,5 +727,12 @@ class PallasTaumol:
         ints = [ivec(getattr(sc, n)) for n in I_FIELDS]
         ints.append(ivec(sc.laytrop_mask.astype(jnp.int32)))
         sci = jnp.stack(ints)
+        return scf, sci
 
+    def _forward_flat(self, sc: SetcoefOut, prof: Profile):
+        B, L = sc.jp.shape
+        C = B * L
+        T = self.tile
+        Cp = ((C + T - 1) // T) * T
+        scf, sci = self._pack(sc, prof, pad=Cp - C)
         return self._kernel(Cp, scf, sci, *self._tables_dev)

@@ -81,3 +81,28 @@ def test_grad_flows_through_custom_vjp(stack):
     g = jax.grad(loss)(taut)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_blocked_input_parity(stack):
+    """native='blocked' (taut/fracs pre-padded (L, G_pad, B)) must
+    reproduce the (B, L, G) path exactly."""
+    model, prof, sc, taut, fracs, cldf, odcld = stack
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+    ref = rtp.rt_random_overlap_pallas(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf, odcld,
+        cloudy=True, gate_thresh=0.5, interpret=True, **kw)
+
+    def to_blocked(x):   # (B, L, G) -> (L, G_pad, B)
+        return jnp.pad(jnp.transpose(x, (1, 2, 0)),
+                       ((0, 0), (0, 4), (0, 0)))
+    out = rtp.rt_random_overlap_pallas(
+        to_blocked(taut), to_blocked(fracs), sc.planklay, sc.planklev,
+        sc.plankbnd, sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+        cldf, odcld, taua=jnp.zeros_like(prof.taua), cloudy=True,
+        gate_thresh=0.5, native="blocked", interpret=True, tile=8, **kw)
+    for name in ("totuflux", "totdflux", "totuclfl", "totdclfl"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)

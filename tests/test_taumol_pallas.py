@@ -45,3 +45,19 @@ def test_kernel_pads_ragged_batch(setup):
     tg, fr = pt(sc, prof)
     assert tg.shape == (8, 43, 140)
     assert np.isfinite(np.asarray(tg)).all()
+
+
+def test_blocked_layout_matches_native(setup):
+    model, prof, sc = setup
+    pt = PallasTaumol(model.ktables, model.static_np, interpret=True,
+                      tile=8)   # B=8 -> one tile per layer
+    tg_n, fr_n = pt._forward_native(sc, prof)      # (140, L, B)
+    tg_b, fr_b = pt._forward_blocked(sc, prof)     # (L, 144, B)
+    assert tg_b.shape == (43, 144, 8)
+    np.testing.assert_array_equal(
+        np.asarray(tg_b[:, :140]), np.asarray(tg_n).transpose(1, 0, 2))
+    np.testing.assert_array_equal(
+        np.asarray(fr_b[:, :140]), np.asarray(fr_n).transpose(1, 0, 2))
+    # padded g rows are exact zeros (RT kernel relies on this)
+    assert not np.asarray(tg_b[:, 140:]).any()
+    assert not np.asarray(fr_b[:, 140:]).any()
