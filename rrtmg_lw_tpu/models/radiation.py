@@ -154,7 +154,8 @@ class RRTMGLW:
                 taut = taut[..., gsel]
                 fracs = fracs[..., gsel]
 
-        def run_rt(cldf_g, odcld_g, cloudy, thresh):
+        def run_rt(cldf_g, odcld_g, cloudy, thresh,
+                   clouds_blocked=False):
             if self.rt_pallas:
                 from ..ops import rtrn_pallas as rtp
                 return rtp.rt_random_overlap_pallas(
@@ -166,7 +167,8 @@ class RRTMGLW:
                     static=self.static_np, idrv=cfg.idrv,
                     heatfac_val=self.heatfac, istart=cfg.istart,
                     iend=cfg.iend,
-                    native="blocked" if blocked else native)
+                    native="blocked" if blocked else native,
+                    clouds_blocked=clouds_blocked)
             gate = (cldf_g >= thresh) if cloudy \
                 else jnp.zeros(taut.shape, bool)
             return rt.rt_random_overlap(
@@ -185,14 +187,22 @@ class RRTMGLW:
             out = run_rt(zero_g, zero_g, False, 2.0)
         elif cfg.imca == 1:
             assert isinstance(clouds, McicaClouds)
-            taucmc, bounds_ok = cld_ops.cldprmc(
-                clouds, self.static_np, inflag=cfg.inflag,
-                iceflag=cfg.iceflag, liqflag=cfg.liqflag)
-            cldf_g = clouds.cldfmc[..., gsel]
-            odcld_g = taucmc[..., gsel]
             # cldfmc is binary (0/1): >= 0.5 reproduces the reference's
             # cldfmc == 1 gate (rtrnmc.f90:317)
-            out = run_rt(cldf_g, odcld_g, True, 0.5)
+            if blocked:
+                # optics arithmetic fused into the one relayout pass
+                odcld_t, cldf_t, bounds_ok = cld_ops.cldprmc_blocked(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                out = run_rt(cldf_t, odcld_t, True, 0.5,
+                             clouds_blocked=True)
+            else:
+                taucmc, bounds_ok = cld_ops.cldprmc(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                cldf_g = clouds.cldfmc[..., gsel]
+                odcld_g = taucmc[..., gsel]
+                out = run_rt(cldf_g, odcld_g, True, 0.5)
         else:
             assert isinstance(clouds, BandClouds)
             taucloud, bounds_ok = cld_ops.cldprop(

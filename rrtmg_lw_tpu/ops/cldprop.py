@@ -112,6 +112,48 @@ def cldprmc(clouds: McicaClouds, tables: dict, *, inflag: int,
     return taucmc, ok
 
 
+def cldprmc_blocked(clouds: McicaClouds, tables: dict, *, inflag: int,
+                    iceflag: int, liqflag: int, g_pad: int = 144):
+    """cldprmc fused with the relayout into the Pallas RT sweep
+    kernel's padded (L, G_pad, B) block layout.
+
+    Numerically identical to ``cldprmc`` + transpose + pad, but the
+    optics arithmetic rides the one unavoidable relayout pass instead
+    of materializing (B, L, G) intermediates first.  Returns
+    (taucmc_t, cldfmc_t, bounds_ok) with the first two shaped
+    (L, g_pad, B) and zero-filled pad rows.
+    """
+    G = clouds.cldfmc.shape[-1]
+    pads = ((0, 0), (0, 0), (0, g_pad - G))
+
+    def t(x):                              # (B, L, G) -> (L, g_pad, B)
+        return jnp.transpose(jnp.pad(x, pads), (1, 2, 0))
+
+    cldf_t = t(clouds.cldfmc)
+    if inflag == 0:
+        return t(clouds.taucmc), cldf_t, \
+            jnp.ones(clouds.reicmc.shape, bool)
+    if inflag == 1:
+        raise ValueError("INFLAG=1 not available with McICA "
+                         "(cldprmc.f90:191)")
+    dtype = clouds.taucmc.dtype
+    abscoice_b, abscoliq_b, ok = _ice_liq_coeffs(
+        clouds.reicmc, clouds.relqmc, iceflag, liqflag, tables, dtype)
+    ngb = np.asarray(tables["ngb"]) - 1
+    abscoice = abscoice_b[..., ngb]
+    abscoliq = abscoliq_b[..., ngb]
+    abscoice = jnp.where(clouds.ciwpmc == 0.0, 0.0, abscoice)
+    abscoliq = jnp.where(clouds.clwpmc == 0.0, 0.0, abscoliq)
+    cwp = clouds.ciwpmc + clouds.clwpmc
+    active = (clouds.cldfmc >= CLDMIN) & (
+        (cwp >= CLDMIN) | (clouds.taucmc >= CLDMIN))
+    taucmc = jnp.where(
+        active,
+        clouds.ciwpmc * abscoice + clouds.clwpmc * abscoliq,
+        clouds.taucmc)
+    return t(taucmc), cldf_t, ok
+
+
 def cldprop(clouds: BandClouds, tables: dict, *, inflag: int,
             iceflag: int, liqflag: int):
     """Per-band cloud optical depth expanded to the 16 real bands.

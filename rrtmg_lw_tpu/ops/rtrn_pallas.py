@@ -292,8 +292,8 @@ def _prep(x, Lp, G_pad, Bp, dims="lgb"):
 def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                      dplankbnd_dt, semiss, pwvcm, cldf_g, odcld_g,
                      taua=None, *, gate_thresh, ngb0, delwave, cloudy,
-                     idrv, native=False, tile=128, lc_clear=20,
-                     lc_cloudy=12, interpret=False):
+                     idrv, native=False, clouds_blocked=False, tile=128,
+                     lc_clear=20, lc_cloudy=12, interpret=False):
     """Band-integrated fluxes (B, L+1) x {up, down, clrup, clrdn}
     [+ dup/dT, dclrup/dT] via the fused Pallas sweep kernel.
 
@@ -349,8 +349,12 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     if with_taua:
         arrays.append(_prep(taua, Lp, G_pad, Bp, "lbb"))
     if cloudy:
-        arrays.append(_prep(cldf_g, Lp, G_pad, Bp))
-        arrays.append(_prep(odcld_g, Lp, G_pad, Bp))
+        if clouds_blocked:
+            arrays.append(cldf_g)
+            arrays.append(odcld_g)
+        else:
+            arrays.append(_prep(cldf_g, Lp, G_pad, Bp))
+            arrays.append(_prep(odcld_g, Lp, G_pad, Bp))
 
     run = _build_kernel(L, Lp, Lc, G, G_pad, tile, L1p, bool(cloudy),
                         bool(idrv), with_taua, float(gate_thresh),
@@ -366,8 +370,8 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                              dplankbnd_dt, semiss, pwvcm, pz, cldf_g,
                              odcld_g, taua=None, *, cloudy, gate_thresh,
                              static, idrv, heatfac_val, istart=1,
-                             iend=16, native=False, tile=128,
-                             interpret=False):
+                             iend=16, native=False, clouds_blocked=False,
+                             tile=128, interpret=False):
     """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
 
     Forward fluxes come from the Pallas kernel; reverse-mode runs
@@ -389,7 +393,8 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
             raise ValueError("taut g-dim must match selected bands")
 
     flux_kw = dict(gate_thresh=gate_thresh, ngb0=ngb0, delwave=delwave,
-                   cloudy=cloudy, idrv=idrv, native=native, tile=tile,
+                   cloudy=cloudy, idrv=idrv, native=native,
+                   clouds_blocked=clouds_blocked, tile=tile,
                    interpret=interpret)
 
     @jax.custom_vjp
@@ -409,6 +414,11 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
         elif native:
             taut = jnp.transpose(taut, (2, 1, 0))
             fracs = jnp.transpose(fracs, (2, 1, 0))
+        if clouds_blocked and cloudy:
+            B = planklay.shape[0]
+            cldf_g = jnp.transpose(cldf_g[:, :len(ngb0), :B], (2, 0, 1))
+            odcld_g = jnp.transpose(odcld_g[:, :len(ngb0), :B],
+                                    (2, 0, 1))
         if taua is not None:
             taut = taut + taua[..., ngb0]
         gate = cldf_g >= gate_thresh if cloudy \

@@ -106,3 +106,23 @@ def test_blocked_input_parity(stack):
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)),
             np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)
+
+
+def test_cldprmc_blocked_matches_plain(stack):
+    from rrtmg_lw_tpu.ops import cldprop as cld_ops
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+    model = stack[0]
+    cl = make_mcica_clouds(ncol=8, nlay=43, dtype=jnp.float32)
+    kw = dict(inflag=2, iceflag=3, liqflag=1)
+    tau, ok = cld_ops.cldprmc(cl, model.static_np, **kw)
+    tau_t, cldf_t, ok_t = cld_ops.cldprmc_blocked(cl, model.static_np,
+                                                  **kw)
+    assert tau_t.shape == (43, 144, 8)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_t))
+    np.testing.assert_array_equal(
+        np.asarray(tau_t[:, :140]), np.asarray(tau).transpose(1, 2, 0))
+    np.testing.assert_array_equal(
+        np.asarray(cldf_t[:, :140]),
+        np.asarray(cl.cldfmc).transpose(1, 2, 0))
+    assert not np.asarray(tau_t[:, 140:]).any()
+    assert not np.asarray(cldf_t[:, 140:]).any()
