@@ -62,8 +62,14 @@ def _gas_factors(od):
 
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
-                  gate_thresh, ngb0_key, delwave_key, interpret):
-    """Compile-time factory; ngb0/delwave passed as hashable tuples."""
+                  gate_thresh, ngb0_key, delwave_key, resident,
+                  interpret):
+    """Compile-time factory; ngb0/delwave passed as hashable tuples.
+
+    With ``resident`` the level-streamed inputs ship as whole-(Lp)
+    blocks that stay in VMEM for the full column tile, so each array
+    is DMA'd from HBM once per tile instead of once per sweep (the
+    down and up phases otherwise re-stream every chunk)."""
     ngb0 = np.asarray(ngb0_key, np.int32)            # (G,) band of g
     delwave = np.asarray(delwave_key, np.float64)
     nc = Lp // Lc
@@ -90,6 +96,13 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         down = j < nc
         chunk = jnp.where(down, nc - 1 - j, j - nc)
         wg = ew_r[:, NBANDS:NBANDS + 1]
+
+        if resident:
+            def rd(ref, k):
+                return ref[pl.ds(chunk * Lc + k, 1)][0]
+        else:
+            def rd(ref, k):
+                return ref[k]
 
         def edot(m16):
             return jnp.dot(ew_r[:, 0:NBANDS], m16,
@@ -125,17 +138,17 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 out_r[5, 0, :] = jnp.sum(wg * d0, axis=0)
 
         def common(k):
-            t = taut_r[k]
+            t = rd(taut_r, k)
             if with_taua:
-                t = t + edot(taua_r[k])      # grey per-band aerosol add
-            f = fracs_r[k]
-            blay = edot(play_r[k])
+                t = t + edot(rd(taua_r, k))  # grey per-band aerosol add
+            f = rd(fracs_r, k)
+            blay = edot(rd(play_r, k))
             od = jnp.maximum(secd_g * t, 0.0)
             atrans, tf = _gas_factors(od)
             if cloudy:
-                cldf = cldf_r[k]
+                cldf = rd(cldf_r, k)
                 gate = cldf >= gate_thresh
-                odcld = jnp.where(gate, secd_g * odcld_r[k], 0.0)
+                odcld = jnp.where(gate, secd_g * rd(odcld_r, k), 0.0)
                 abscld = 1.0 - jnp.exp(-odcld)
                 efc = jnp.where(gate, abscld * cldf, 0.0)
                 atot, tftot = _gas_factors(od + odcld)
@@ -149,7 +162,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             for k in reversed(range(Lc)):
                 c = common(k)
                 f, blay, atrans, tf = c[:4]
-                dpl = edot(plo_r[k]) - blay
+                dpl = edot(rd(plo_r, k)) - blay
                 bbd = f * (blay + tf * dpl)
                 gassrc = atrans * bbd
                 radld = rad_s[0]
@@ -187,7 +200,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             for k in range(Lc):
                 c = common(k)
                 f, blay, atrans, tf = c[:4]
-                dpu = edot(phi_r[k]) - blay
+                dpu = edot(rd(phi_r, k)) - blay
                 bbu = f * (blay + tf * dpu)
                 gassrc = bbu * atrans
                 radlu = rad_s[2]
@@ -237,11 +250,19 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     out_r[5, pl.ds(row, 1), :] = jnp.sum(
                         wg * dclru_n, axis=0, keepdims=True)
 
-    chunk_map = lambda i, j: (jnp.where(j < nc, nc - 1 - j, j - nc), 0, i)
-    gxb = pl.BlockSpec((Lc, G_pad, BT), chunk_map,
-                       memory_space=pltpu.VMEM)
-    bxb = pl.BlockSpec((Lc, NBANDS, BT), chunk_map,
-                       memory_space=pltpu.VMEM)
+    if resident:
+        whole = lambda i, j: (0, 0, i)
+        gxb = pl.BlockSpec((Lp, G_pad, BT), whole,
+                           memory_space=pltpu.VMEM)
+        bxb = pl.BlockSpec((Lp, NBANDS, BT), whole,
+                           memory_space=pltpu.VMEM)
+    else:
+        chunk_map = lambda i, j: (jnp.where(j < nc, nc - 1 - j, j - nc),
+                                  0, i)
+        gxb = pl.BlockSpec((Lc, G_pad, BT), chunk_map,
+                           memory_space=pltpu.VMEM)
+        bxb = pl.BlockSpec((Lc, NBANDS, BT), chunk_map,
+                           memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((G_pad, NBANDS + 1), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
                 gxb, gxb, bxb, bxb, bxb,
@@ -356,11 +377,19 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
             arrays.append(_prep(cldf_g, Lp, G_pad, Bp))
             arrays.append(_prep(odcld_g, Lp, G_pad, Bp))
 
+    # whole-(Lp) VMEM residency: each input is DMA'd once per column
+    # tile instead of once per sweep.  Budget: 2x (pipeline double
+    # buffer) x per-tile bytes, kept well under the 100 MB VMEM limit.
+    n_gres = 2 + (2 if cloudy else 0)
+    n_bres = 3 + (1 if with_taua else 0)
+    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
+    resident = 2 * per_tile < 48 * 1024 * 1024
+
     run = _build_kernel(L, Lp, Lc, G, G_pad, tile, L1p, bool(cloudy),
                         bool(idrv), with_taua, float(gate_thresh),
                         tuple(int(v) for v in ngb0),
                         tuple(float(v) for v in delwave),
-                        bool(interpret))
+                        bool(resident), bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)
     return tuple(out[i] for i in range(out.shape[0]))

@@ -193,32 +193,39 @@ def _onehot_T(r, R, dtype):
     return jnp.where(iota == r, 1.0, 0.0).astype(dtype)
 
 
+NSPLIT = 3
+
+
 def _split3(tbl: np.ndarray) -> np.ndarray:
-    """3-way bf16 decomposition, rows concatenated: (3D, C) bf16.
+    """bf16 decomposition, rows concatenated: (NSPLIT*D, C) bf16.
 
     The selection matmuls contract a one-hot W (0/1 entries — exact in
     bf16) against f32 tables.  Mosaic only offers DEFAULT (one bf16
     pass) or HIGHEST (six passes) MXU precision; a one-hot selection
     needs full table precision but only one real product per output, so
     hi/mid/lo bf16 components summed in f32 reproduce the f32 table to
-    ~2^-24 relative at half the HIGHEST pass count."""
+    ~2^-24 relative at half the HIGHEST pass count.  (NSPLIT=2 measured
+    identical wall time on a v5e — the kernel is VPU-bound, not
+    MXU-bound — so the extra split is free accuracy.)"""
     x = tbl.astype(np.float32)
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - np.asarray(hi, np.float32)
-    mid = r1.astype(jnp.bfloat16)
-    r2 = r1 - np.asarray(mid, np.float32)
-    lo = r2.astype(jnp.bfloat16)
-    return np.concatenate([np.asarray(hi), np.asarray(mid),
-                           np.asarray(lo)], axis=0)
+    parts = []
+    for _ in range(NSPLIT):
+        p = x.astype(jnp.bfloat16)
+        x = x - np.asarray(p, np.float32)
+        parts.append(np.asarray(p))
+    return np.concatenate(parts, axis=0)
 
 
-def _dot(tbl3, W):
-    """Selection matmul against a 3-way-split bf16 table (3D, C)."""
-    D = tbl3.shape[0] // 3
-    M = jnp.dot(tbl3, W.astype(jnp.bfloat16),
+def _dot(tbls, W):
+    """Selection matmul against a split bf16 table (NSPLIT*D, C)."""
+    D = tbls.shape[0] // NSPLIT
+    M = jnp.dot(tbls, W.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
-    return M[:D] + M[D:2 * D] + M[2 * D:]
+    acc = M[:D]
+    for s in range(1, NSPLIT):
+        acc = acc + M[s * D:(s + 1) * D]
+    return acc
 
 
 class _Ctx(NamedTuple):
