@@ -1,0 +1,92 @@
+"""Pallas TPU kernel for the setcoef Planck-table interpolation.
+
+The XLA one-hot path (setcoef._interp_rows_onehot) materializes a
+(B*L, 181) f32 weight matrix in HBM (~178 MB at B=4096, L=60) just to
+contract it down to (B, L, 16) — that round-trip is most of setcoef's
+~2 ms/step.  Here the weight tile lives only in VMEM: grid over
+(level, column-tile), build the (181, T) two-tap interpolation weights
+on the VPU, contract against the resident (16, 181) totplnk table on
+the MXU, and emit the result directly in the RT sweep kernel's
+(L, 16, B) blocked layout (which also removes that kernel's `_prep`
+relayout for the Planck arrays).
+
+Index semantics match rrtmg_lw_setcoef.f90:173-206 via
+setcoef._planck_index: ind = int(T-159) clamped to [1, 180],
+frac = T - 159 - ind (frac may leave [0, 1) when clamped — the weights
+then extrapolate, exactly like the reference).
+
+Unwired scaffold as of round 1 — see PERF_NOTES.md roadmap.  Wire-up
+plan: radiation.from_profile (blocked RT path) computes
+planck_blocked = (planklay_t, planklev_lo_t, planklev_hi_t) here and
+passes them to rt_fluxes_pallas in place of the _prep'd setcoef
+outputs; setcoef's XLA planck arrays then dead-code-eliminate under
+jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NROWS = 181
+KPAD = 184          # 181 padded to a sublane multiple
+
+
+def _pad_to(n, m):
+    return -(-n // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _build(T, interpret):
+    def kernel(tbl_ref, temp_ref, out_ref):
+        t = temp_ref[:]                                   # (1, T)
+        ind = jnp.clip((t - 159.0).astype(jnp.int32), 1, 180)
+        frac = t - 159.0 - ind.astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (KPAD, T), 0)
+        W = jnp.where(iota == ind - 1, 1.0 - frac,
+                      jnp.where(iota == ind, frac, 0.0))
+        out_ref[0] = jnp.dot(tbl_ref[:], W,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    def run(tbl16, temp_t):                               # (16,KPAD),(L,B)
+        L, B = temp_t.shape
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, 16, B), jnp.float32),
+            grid=(L, B // T),
+            in_specs=[
+                pl.BlockSpec((16, KPAD), lambda l, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T), lambda l, i: (l, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 16, T), lambda l, i: (l, 0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=bool(interpret),
+        )(tbl16, temp_t)
+
+    return run
+
+
+def planck_interp_blocked(temp_t, totplnk, *, tile=512, interpret=False):
+    """(L, B) layer/level temperatures -> (L, 16, B) Planck sources.
+
+    totplnk: (181, 16) table (static).  B must be a multiple of
+    ``tile`` (callers pad columns; the batched pipeline already runs
+    on tile-aligned B).
+    """
+    L, B = temp_t.shape
+    tile = min(tile, B)
+    if B % tile:
+        raise ValueError("planck_interp_blocked needs tile | B")
+    tbl16 = jnp.asarray(
+        np.pad(np.asarray(totplnk, np.float32).T,
+               ((0, 0), (0, KPAD - NROWS))))
+    run = _build(int(tile), bool(interpret))
+    return run(tbl16, temp_t.astype(jnp.float32))

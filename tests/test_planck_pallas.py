@@ -1,0 +1,30 @@
+"""planck_pallas vs the setcoef reference interpolation (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrtmg_lw_tpu.data import ktables as kt
+from rrtmg_lw_tpu.ops.planck_pallas import planck_interp_blocked
+from rrtmg_lw_tpu.ops.setcoef import _interp_planck, _planck_index
+
+
+@pytest.fixture(scope="module")
+def totplnk():
+    return np.asarray(kt.load_static()["totplnk"], np.float32)
+
+
+def test_matches_setcoef_interp(totplnk):
+    rng = np.random.default_rng(0)
+    B, L = 256, 7
+    # span the table including the clamped extrapolation ends
+    temps = rng.uniform(155.0, 345.0, size=(B, L)).astype(np.float32)
+
+    ind, frac = _planck_index(jnp.asarray(temps))
+    ref = _interp_planck(jnp.asarray(totplnk), ind, frac)   # (B, L, 16)
+
+    out = planck_interp_blocked(jnp.asarray(temps.T), totplnk,
+                                tile=128, interpret=True)   # (L, 16, B)
+    got = jnp.transpose(out, (2, 0, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=1e-6)
