@@ -313,7 +313,8 @@ def _prep(x, Lp, G_pad, Bp, dims="lgb"):
 def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                      dplankbnd_dt, semiss, pwvcm, cldf_g, odcld_g,
                      taua=None, *, gate_thresh, ngb0, delwave, cloudy,
-                     idrv, native=False, clouds_blocked=False, tile=128,
+                     idrv, native=False, clouds_blocked=False,
+                     planck_blocked=False, tile=128,
                      lc_clear=20, lc_cloudy=12, interpret=False):
     """Band-integrated fluxes (B, L+1) x {up, down, clrup, clrdn}
     [+ dup/dT, dclrup/dT] via the fused Pallas sweep kernel.
@@ -323,6 +324,9 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     (B, L, 16) is added per band inside the kernel.  With
     native="blocked" they arrive already in this kernel's padded
     (L, G_pad, B) block layout (zero relayout: taumol wrote it).
+    With planck_blocked, planklay is (L, 16, B) and planklev is
+    (L+1, 16, B) straight from the Planck Pallas kernel
+    (planck_pallas.planck_interp_blocked) — no _prep relayout.
     """
     blocked = native == "blocked"
     if blocked:
@@ -358,12 +362,22 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     surf = jnp.pad(surf, ((0, 0), (0, Bp - B)))
 
     spec_dims = "glb" if native else "lgb"
+    if planck_blocked:
+        # (L, 16, B) / (L+1, 16, B) from the Planck Pallas kernel;
+        # on the blocked native path Lp == L and Bp == B so these pads
+        # are no-ops
+        pads = ((0, Lp - L), (0, 0), (0, Bp - planklay.shape[2]))
+        play_a = jnp.pad(planklay, pads)
+        plo_a = jnp.pad(planklev[:-1], pads)
+        phi_a = jnp.pad(planklev[1:], pads)
+    else:
+        play_a = _prep(planklay, Lp, G_pad, Bp, "lbb")
+        plo_a = _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb")
+        phi_a = _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb")
     arrays = [
         taut if blocked else _prep(taut, Lp, G_pad, Bp, spec_dims),
         fracs if blocked else _prep(fracs, Lp, G_pad, Bp, spec_dims),
-        _prep(planklay, Lp, G_pad, Bp, "lbb"),
-        _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb"),
-        _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb"),
+        play_a, plo_a, phi_a,
         surf,
     ]
     with_taua = taua is not None
@@ -400,13 +414,16 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                              odcld_g, taua=None, *, cloudy, gate_thresh,
                              static, idrv, heatfac_val, istart=1,
                              iend=16, native=False, clouds_blocked=False,
-                             tile=128, interpret=False):
+                             planck_blocked=False, tile=128,
+                             interpret=False):
     """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
 
     Forward fluxes come from the Pallas kernel; reverse-mode runs
     through the (numerically identical) XLA implementation.  With
     native=True taut/fracs are (G, L, B) straight from the Pallas
-    taumol kernel and taua (B, L, 16) is folded in on the fly.
+    taumol kernel and taua (B, L, 16) is folded in on the fly.  With
+    planck_blocked, planklay/planklev arrive as (L, 16, B)/(L+1, 16, B)
+    from planck_pallas (plankbnd/dplankbnd stay (B, 16)).
     """
     ngb_full = np.asarray(static["ngb"]) - 1
     gsel = np.nonzero((ngb_full >= istart - 1) & (ngb_full <= iend - 1))[0]
@@ -423,7 +440,8 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
 
     flux_kw = dict(gate_thresh=gate_thresh, ngb0=ngb0, delwave=delwave,
                    cloudy=cloudy, idrv=idrv, native=native,
-                   clouds_blocked=clouds_blocked, tile=tile,
+                   clouds_blocked=clouds_blocked,
+                   planck_blocked=planck_blocked, tile=tile,
                    interpret=interpret)
 
     @jax.custom_vjp
@@ -436,18 +454,20 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
     def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
                    taua):
+        B = pwvcm.shape[0]
         if blocked:
-            B = planklay.shape[0]
             taut = jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1))
             fracs = jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1))
         elif native:
             taut = jnp.transpose(taut, (2, 1, 0))
             fracs = jnp.transpose(fracs, (2, 1, 0))
         if clouds_blocked and cloudy:
-            B = planklay.shape[0]
             cldf_g = jnp.transpose(cldf_g[:, :len(ngb0), :B], (2, 0, 1))
             odcld_g = jnp.transpose(odcld_g[:, :len(ngb0), :B],
                                     (2, 0, 1))
+        if planck_blocked:
+            planklay = jnp.transpose(planklay[:, :, :B], (2, 0, 1))
+            planklev = jnp.transpose(planklev[:, :, :B], (2, 0, 1))
         if taua is not None:
             taut = taut + taua[..., ngb0]
         gate = cldf_g >= gate_thresh if cloudy \

@@ -108,6 +108,29 @@ def test_blocked_input_parity(stack):
             np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)
 
 
+def test_planck_blocked_parity(stack):
+    """planck_blocked ((L,16,B)/(L+1,16,B) Planck inputs, as produced
+    by planck_pallas) must reproduce the (B,L,16) path exactly."""
+    model, prof, sc, taut, fracs, cldf, odcld = stack
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+    ref = rtp.rt_random_overlap_pallas(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf, odcld,
+        cloudy=True, gate_thresh=0.5, interpret=True, **kw)
+    play_t = jnp.transpose(sc.planklay, (1, 2, 0))      # (L, 16, B)
+    plev_t = jnp.transpose(sc.planklev, (1, 2, 0))      # (L+1, 16, B)
+    out = rtp.rt_random_overlap_pallas(
+        taut, fracs, play_t, plev_t, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf, odcld,
+        cloudy=True, gate_thresh=0.5, planck_blocked=True,
+        interpret=True, tile=8, **kw)
+    for name in ("totuflux", "totdflux", "totuclfl", "totdclfl"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)
+
+
 def test_cldprmc_blocked_matches_plain(stack):
     from rrtmg_lw_tpu.ops import cldprop as cld_ops
     from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
