@@ -125,10 +125,26 @@ class RRTMGLW:
                    and self.spec_constraint is None
                    and hasattr(self.engine, "supports_blocked")
                    and self.engine.supports_blocked(B, L))
+        planck_b = False
+        planck_args = None
         if blocked:
             sc = setcoef(prof, self.static, istart=cfg.istart,
                          idrv=cfg.idrv)
             taut, fracs = self.engine.forward_blocked(sc, prof)
+            # Planck sources straight to the RT kernel's (L, 16, B)
+            # layout via the VMEM-tiled Pallas interp; setcoef's
+            # HBM-materialized one-hot planklay/planklev then dead-code
+            # eliminate under jit (plankbnd/dplankbnd stay XLA).
+            if B % 128 == 0:
+                from ..ops.planck_pallas import planck_interp_blocked
+                ptile = max(t for t in (512, 256, 128) if B % t == 0)
+                totplnk = self.static["totplnk"]
+                planck_args = (
+                    planck_interp_blocked(prof.tavel.T, totplnk,
+                                          tile=ptile),
+                    planck_interp_blocked(prof.tz.T, totplnk,
+                                          tile=ptile))
+                planck_b = True
         elif native:
             sc = setcoef(prof, self.static, istart=cfg.istart,
                          idrv=cfg.idrv)
@@ -158,8 +174,10 @@ class RRTMGLW:
                    clouds_blocked=False):
             if self.rt_pallas:
                 from ..ops import rtrn_pallas as rtp
+                play, plev = (planck_args if planck_b
+                              else (sc.planklay, sc.planklev))
                 return rtp.rt_random_overlap_pallas(
-                    taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+                    taut, fracs, play, plev, sc.plankbnd,
                     sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
                     cldf_g, odcld_g,
                     taua=prof.taua if native else None,
@@ -168,7 +186,8 @@ class RRTMGLW:
                     heatfac_val=self.heatfac, istart=cfg.istart,
                     iend=cfg.iend,
                     native="blocked" if blocked else native,
-                    clouds_blocked=clouds_blocked)
+                    clouds_blocked=clouds_blocked,
+                    planck_blocked=planck_b)
             gate = (cldf_g >= thresh) if cloudy \
                 else jnp.zeros(taut.shape, bool)
             return rt.rt_random_overlap(

@@ -44,7 +44,7 @@ def _pad_to(n, m):
 @functools.lru_cache(maxsize=8)
 def _build(T, interpret):
     def kernel(tbl_ref, temp_ref, out_ref):
-        t = temp_ref[:]                                   # (1, T)
+        t = temp_ref[0]                                   # (1, T)
         ind = jnp.clip((t - 159.0).astype(jnp.int32), 1, 180)
         frac = t - 159.0 - ind.astype(jnp.float32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (KPAD, T), 0)
@@ -56,20 +56,25 @@ def _build(T, interpret):
 
     def run(tbl16, temp_t):                               # (16,KPAD),(L,B)
         L, B = temp_t.shape
+        nb = B // T
+        # (L*nb, 1, T): Mosaic requires the last two block dims to be
+        # (8k, 128k)-aligned or equal to the array dims; a (1, T) row
+        # block over a (., 1, T) array satisfies that exactly
+        temp3 = temp_t.reshape(L * nb, 1, T)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((L, 16, B), jnp.float32),
-            grid=(L, B // T),
+            grid=(L, nb),
             in_specs=[
                 pl.BlockSpec((16, KPAD), lambda l, i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T), lambda l, i: (l, i),
+                pl.BlockSpec((1, 1, T), lambda l, i: (l * nb + i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 16, T), lambda l, i: (l, 0, i),
                                    memory_space=pltpu.VMEM),
             interpret=bool(interpret),
-        )(tbl16, temp_t)
+        )(tbl16, temp3)
 
     return run
 
