@@ -57,7 +57,12 @@ def main():
     dtype = jnp.float32
 
     atm = make_atmosphere(ncol=ncol, nlay=nlay, dtype=dtype)
-    clouds = make_mcica_clouds(ncol=ncol, nlay=nlay, dtype=dtype)
+    # clouds in the pipeline's native (L, NGPT, B) layout on TPU — the
+    # framework's storage convention, like the reference's g-major
+    # cldfmcl(ngptlw, ncol, nlay); saves two full relayout passes
+    layout = "blocked" if platform == "tpu" else "batch"
+    clouds = make_mcica_clouds(ncol=ncol, nlay=nlay, dtype=dtype,
+                               layout=layout)
 
     # clear-sky step
     clr_model = make_model(LWConfig(icld=0, dtype="float32",

@@ -30,7 +30,8 @@ from ..ops.inatm import inatm
 from ..ops.setcoef import setcoef
 from ..ops.tables import build_lookup_tables
 from ..ops.taumol import TaumolEngine
-from ..types import Atmosphere, BandClouds, Fluxes, McicaClouds, Profile
+from ..types import (Atmosphere, BandClouds, Fluxes, McicaClouds,
+                     McicaCloudsBlocked, Profile)
 
 
 class RRTMGLW:
@@ -205,7 +206,9 @@ class RRTMGLW:
             zero_g = jnp.zeros((B, L, len(gsel)), dtype)
             out = run_rt(zero_g, zero_g, False, 2.0)
         elif cfg.imca == 1:
-            assert isinstance(clouds, McicaClouds)
+            assert isinstance(clouds, (McicaClouds, McicaCloudsBlocked))
+            if isinstance(clouds, McicaCloudsBlocked) and not blocked:
+                clouds = clouds.to_batch()
             # cldfmc is binary (0/1): >= 0.5 reproduces the reference's
             # cldfmc == 1 gate (rtrnmc.f90:317)
             if blocked:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import BandClouds, McicaClouds
+from ..types import BandClouds, McicaClouds, McicaCloudsBlocked
 
 CLDMIN = 1.0e-20
 
@@ -112,22 +112,31 @@ def cldprmc(clouds: McicaClouds, tables: dict, *, inflag: int,
     return taucmc, ok
 
 
-def cldprmc_blocked(clouds: McicaClouds, tables: dict, *, inflag: int,
+def cldprmc_blocked(clouds, tables: dict, *, inflag: int,
                     iceflag: int, liqflag: int, g_pad: int = 144):
     """cldprmc fused with the relayout into the Pallas RT sweep
     kernel's padded (L, G_pad, B) block layout.
 
     Numerically identical to ``cldprmc`` + transpose + pad, but the
     optics arithmetic rides the one unavoidable relayout pass instead
-    of materializing (B, L, G) intermediates first.  Returns
+    of materializing (B, L, G) intermediates first.  With a
+    ``McicaCloudsBlocked`` input (per-g arrays already (L, G, B)) there
+    is no relayout at all — only the zero pad.  Returns
     (taucmc_t, cldfmc_t, bounds_ok) with the first two shaped
     (L, g_pad, B) and zero-filled pad rows.
     """
-    G = clouds.cldfmc.shape[-1]
-    pads = ((0, 0), (0, 0), (0, g_pad - G))
+    blocked_in = isinstance(clouds, McicaCloudsBlocked)
+    if blocked_in:
+        G = clouds.cldfmc.shape[1]
 
-    def t(x):                              # (B, L, G) -> (L, g_pad, B)
-        return jnp.transpose(jnp.pad(x, pads), (1, 2, 0))
+        def t(x):                          # (L, G, B) -> (L, g_pad, B)
+            return jnp.pad(x, ((0, 0), (0, g_pad - G), (0, 0)))
+    else:
+        G = clouds.cldfmc.shape[-1]
+        pads = ((0, 0), (0, 0), (0, g_pad - G))
+
+        def t(x):                          # (B, L, G) -> (L, g_pad, B)
+            return jnp.transpose(jnp.pad(x, pads), (1, 2, 0))
 
     cldf_t = t(clouds.cldfmc)
     if inflag == 0:
@@ -140,8 +149,16 @@ def cldprmc_blocked(clouds: McicaClouds, tables: dict, *, inflag: int,
     abscoice_b, abscoliq_b, ok = _ice_liq_coeffs(
         clouds.reicmc, clouds.relqmc, iceflag, liqflag, tables, dtype)
     ngb = np.asarray(tables["ngb"]) - 1
-    abscoice = abscoice_b[..., ngb]
-    abscoliq = abscoliq_b[..., ngb]
+    if blocked_in:
+        # coeffs (B, L, 16) -> (L, G, B): band-resolution transpose
+        # (16/140th of the data) + g-expansion on the middle axis
+        abscoice = jnp.take(jnp.transpose(abscoice_b, (1, 2, 0)),
+                            ngb, axis=1)
+        abscoliq = jnp.take(jnp.transpose(abscoliq_b, (1, 2, 0)),
+                            ngb, axis=1)
+    else:
+        abscoice = abscoice_b[..., ngb]
+        abscoliq = abscoliq_b[..., ngb]
     abscoice = jnp.where(clouds.ciwpmc == 0.0, 0.0, abscoice)
     abscoliq = jnp.where(clouds.clwpmc == 0.0, 0.0, abscoliq)
     cwp = clouds.ciwpmc + clouds.clwpmc

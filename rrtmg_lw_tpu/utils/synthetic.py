@@ -12,7 +12,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..types import Atmosphere, BandClouds, McicaClouds
+from ..types import (Atmosphere, BandClouds, McicaClouds,
+                     McicaCloudsBlocked)
 
 
 def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64):
@@ -85,9 +86,12 @@ def make_band_clouds(ncol=4, nlay=51, seed=1, dtype=jnp.float64):
 
 
 def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
-                      ngpt=140):
+                      ngpt=140, layout="batch"):
     """A plausible binary per-g-point McICA cloud state (for tests/bench
-    that don't exercise the stochastic generator itself)."""
+    that don't exercise the stochastic generator itself).
+
+    layout="blocked" emits a McicaCloudsBlocked with the per-g arrays
+    already in the Pallas pipeline's native (L, NGPT, B) layout."""
     rng = np.random.default_rng(seed)
     cldf = np.zeros((ncol, nlay, ngpt))
     ciwp = np.zeros((ncol, nlay, ngpt))
@@ -103,8 +107,15 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
     def arr(x):
         return jnp.asarray(x, dtype)
 
+    tauc = np.zeros((ncol, nlay, ngpt))
+    reic = np.full((ncol, nlay), 30.0)
+    relq = np.full((ncol, nlay), 10.0)
+    if layout == "blocked":
+        t = lambda x: np.transpose(x, (1, 2, 0))     # -> (L, NGPT, B)
+        return McicaCloudsBlocked(
+            cldfmc=arr(t(cldf)), ciwpmc=arr(t(ciwp)),
+            clwpmc=arr(t(clwp)), taucmc=arr(t(tauc)),
+            reicmc=arr(reic), relqmc=arr(relq))
     return McicaClouds(
         cldfmc=arr(cldf), ciwpmc=arr(ciwp), clwpmc=arr(clwp),
-        taucmc=arr(np.zeros((ncol, nlay, ngpt))),
-        reicmc=arr(np.full((ncol, nlay), 30.0)),
-        relqmc=arr(np.full((ncol, nlay), 10.0)))
+        taucmc=arr(tauc), reicmc=arr(reic), relqmc=arr(relq))

@@ -141,6 +141,20 @@ def test_cldprmc_blocked_matches_plain(stack):
     tau_t, cldf_t, ok_t = cld_ops.cldprmc_blocked(cl, model.static_np,
                                                   **kw)
     assert tau_t.shape == (43, 144, 8)
+    # blocked-layout input (McicaCloudsBlocked) must give identical
+    # results with zero relayout
+    cl_b = make_mcica_clouds(ncol=8, nlay=43, dtype=jnp.float32,
+                             layout="blocked")
+    tau_b, cldf_b, ok_b = cld_ops.cldprmc_blocked(cl_b, model.static_np,
+                                                  **kw)
+    np.testing.assert_array_equal(np.asarray(tau_b), np.asarray(tau_t))
+    np.testing.assert_array_equal(np.asarray(cldf_b),
+                                  np.asarray(cldf_t))
+    np.testing.assert_array_equal(np.asarray(ok_b), np.asarray(ok_t))
+    # and round-trip back to batch layout for the non-blocked paths
+    rt = cl_b.to_batch()
+    np.testing.assert_array_equal(np.asarray(rt.cldfmc),
+                                  np.asarray(cl.cldfmc))
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_t))
     np.testing.assert_array_equal(
         np.asarray(tau_t[:, :140]), np.asarray(tau).transpose(1, 2, 0))
