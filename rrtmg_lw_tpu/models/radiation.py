@@ -172,7 +172,7 @@ class RRTMGLW:
                 fracs = fracs[..., gsel]
 
         def run_rt(cldf_g, odcld_g, cloudy, thresh,
-                   clouds_blocked=False):
+                   clouds_blocked=False, cloud_fields=None):
             if self.rt_pallas:
                 from ..ops import rtrn_pallas as rtp
                 play, plev = (planck_args if planck_b
@@ -188,7 +188,8 @@ class RRTMGLW:
                     iend=cfg.iend,
                     native="blocked" if blocked else native,
                     clouds_blocked=clouds_blocked,
-                    planck_blocked=planck_b)
+                    planck_blocked=planck_b,
+                    cloud_fields=cloud_fields)
             gate = (cldf_g >= thresh) if cloudy \
                 else jnp.zeros(taut.shape, bool)
             return rt.rt_random_overlap(
@@ -211,7 +212,19 @@ class RRTMGLW:
                 clouds = clouds.to_batch()
             # cldfmc is binary (0/1): >= 0.5 reproduces the reference's
             # cldfmc == 1 gate (rtrnmc.f90:317)
-            if blocked:
+            if (blocked and isinstance(clouds, McicaCloudsBlocked)
+                    and cfg.inflag == 2):
+                # fully fused: raw blocked cloud arrays stream straight
+                # into the RT kernel, which runs cldprmc internally —
+                # zero XLA passes over the per-g cloud data
+                abi_t, abl_t, bounds_ok = \
+                    cld_ops.cloud_optics_bands_blocked(
+                        clouds, self.static_np, iceflag=cfg.iceflag,
+                        liqflag=cfg.liqflag)
+                out = run_rt(None, None, True, 0.5, cloud_fields=(
+                    clouds.cldfmc, clouds.ciwpmc, clouds.clwpmc,
+                    clouds.taucmc, abi_t, abl_t))
+            elif blocked:
                 # optics arithmetic fused into the one relayout pass
                 odcld_t, cldf_t, bounds_ok = cld_ops.cldprmc_blocked(
                     clouds, self.static_np, inflag=cfg.inflag,

@@ -127,9 +127,11 @@ def cldprmc_blocked(clouds, tables: dict, *, inflag: int,
     """
     blocked_in = isinstance(clouds, McicaCloudsBlocked)
     if blocked_in:
-        G = clouds.cldfmc.shape[1]
+        G = clouds.cldfmc.shape[1]         # may arrive pre-padded
 
         def t(x):                          # (L, G, B) -> (L, g_pad, B)
+            if G == g_pad:
+                return x
             return jnp.pad(x, ((0, 0), (0, g_pad - G), (0, 0)))
     else:
         G = clouds.cldfmc.shape[-1]
@@ -151,11 +153,14 @@ def cldprmc_blocked(clouds, tables: dict, *, inflag: int,
     ngb = np.asarray(tables["ngb"]) - 1
     if blocked_in:
         # coeffs (B, L, 16) -> (L, G, B): band-resolution transpose
-        # (16/140th of the data) + g-expansion on the middle axis
+        # (16/140th of the data) + g-expansion on the middle axis.
+        # Pad rows (G > len(ngb)) replicate band 0; they stay zero in
+        # the output because their cldfmc is zero.
+        ngb_e = np.pad(ngb, (0, G - len(ngb)))
         abscoice = jnp.take(jnp.transpose(abscoice_b, (1, 2, 0)),
-                            ngb, axis=1)
+                            ngb_e, axis=1)
         abscoliq = jnp.take(jnp.transpose(abscoliq_b, (1, 2, 0)),
-                            ngb, axis=1)
+                            ngb_e, axis=1)
     else:
         abscoice = abscoice_b[..., ngb]
         abscoliq = abscoliq_b[..., ngb]
@@ -169,6 +174,20 @@ def cldprmc_blocked(clouds, tables: dict, *, inflag: int,
         clouds.ciwpmc * abscoice + clouds.clwpmc * abscoliq,
         clouds.taucmc)
     return t(taucmc), cldf_t, ok
+
+
+def cloud_optics_bands_blocked(clouds, tables: dict, *, iceflag: int,
+                               liqflag: int):
+    """Per-band ice/liquid absorption coefficients in the blocked
+    (L, 16, B) layout + bounds flag (B, L), for the RT kernel's fused
+    in-kernel cldprmc (inflag=2).  Only the (B, L)-sized particle-size
+    interpolation runs here; the g-expansion and the water-path
+    arithmetic happen inside the kernel."""
+    dtype = clouds.taucmc.dtype
+    abscoice_b, abscoliq_b, ok = _ice_liq_coeffs(
+        clouds.reicmc, clouds.relqmc, iceflag, liqflag, tables, dtype)
+    return (jnp.transpose(abscoice_b, (1, 2, 0)),
+            jnp.transpose(abscoliq_b, (1, 2, 0)), ok)
 
 
 def cldprop(clouds: BandClouds, tables: dict, *, inflag: int,

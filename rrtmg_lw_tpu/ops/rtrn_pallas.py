@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import FLUXFAC, REC_6, WTDIFF
 from . import rtrn as rt_xla
+from .cldprop import CLDMIN
 
 NBANDS = 16
 
@@ -63,13 +64,20 @@ def _gas_factors(od):
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                   gate_thresh, ngb0_key, delwave_key, resident,
-                  interpret):
+                  fused_clouds, interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples.
 
     With ``resident`` the level-streamed inputs ship as whole-(Lp)
     blocks that stay in VMEM for the full column tile, so each array
     is DMA'd from HBM once per tile instead of once per sweep (the
-    down and up phases otherwise re-stream every chunk)."""
+    down and up phases otherwise re-stream every chunk).
+
+    With ``fused_clouds`` the McICA cloud optics (cldprmc,
+    rrtmg_lw_cldprmc.f90:51-273) run inside the kernel: raw
+    cldfmc/ciwpmc/clwpmc/taucmc stream in at g-resolution, the
+    per-band ice/liquid absorption coefficients at band resolution
+    (expanded on the fly via the one-hot matmul), and the whole XLA
+    glue pass that otherwise materializes odcld in HBM disappears."""
     ngb0 = np.asarray(ngb0_key, np.int32)            # (G,) band of g
     delwave = np.asarray(delwave_key, np.float64)
     nc = Lp // Lc
@@ -90,7 +98,12 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         if with_taua:
             taua_r = refs[k]; k += 1
         if cloudy:
-            cldf_r, odcld_r = refs[k:k + 2]; k += 2
+            if fused_clouds:
+                (cldf_r, ciwp_r, clwp_r, tauc_r,
+                 abi_r, abl_r) = refs[k:k + 6]
+                k += 6
+            else:
+                cldf_r, odcld_r = refs[k:k + 2]; k += 2
         out_r, rad_s, flag_s = refs[k:k + 3]
         j = pl.program_id(1)
         down = j < nc
@@ -148,7 +161,24 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             if cloudy:
                 cldf = rd(cldf_r, k)
                 gate = cldf >= gate_thresh
-                odcld = jnp.where(gate, secd_g * rd(odcld_r, k), 0.0)
+                if fused_clouds:
+                    # cldprmc (rrtmg_lw_cldprmc.f90:128-142) inline:
+                    # band coeffs expand to g via the one-hot matmul
+                    absc_i = edot(rd(abi_r, k))
+                    absc_l = edot(rd(abl_r, k))
+                    ciwp = rd(ciwp_r, k)
+                    clwp = rd(clwp_r, k)
+                    tauc = rd(tauc_r, k)
+                    absc_i = jnp.where(ciwp == 0.0, 0.0, absc_i)
+                    absc_l = jnp.where(clwp == 0.0, 0.0, absc_l)
+                    cwp = ciwp + clwp
+                    active = (cldf >= CLDMIN) & (
+                        (cwp >= CLDMIN) | (tauc >= CLDMIN))
+                    od_raw = jnp.where(
+                        active, ciwp * absc_i + clwp * absc_l, tauc)
+                else:
+                    od_raw = rd(odcld_r, k)
+                odcld = jnp.where(gate, secd_g * od_raw, 0.0)
                 abscld = 1.0 - jnp.exp(-odcld)
                 efc = jnp.where(gate, abscld * cldf, 0.0)
                 atot, tftot = _gas_factors(od + odcld)
@@ -271,7 +301,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
     if with_taua:
         in_specs += [bxb]
     if cloudy:
-        in_specs += [gxb, gxb]
+        if fused_clouds:
+            in_specs += [gxb, gxb, gxb, gxb, bxb, bxb]
+        else:
+            in_specs += [gxb, gxb]
 
     def run(Bp, *arrays):
         return pl.pallas_call(
@@ -314,7 +347,7 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                      dplankbnd_dt, semiss, pwvcm, cldf_g, odcld_g,
                      taua=None, *, gate_thresh, ngb0, delwave, cloudy,
                      idrv, native=False, clouds_blocked=False,
-                     planck_blocked=False, tile=128,
+                     planck_blocked=False, cloud_fields=None, tile=128,
                      lc_clear=20, lc_cloudy=12, interpret=False):
     """Band-integrated fluxes (B, L+1) x {up, down, clrup, clrdn}
     [+ dup/dT, dclrup/dT] via the fused Pallas sweep kernel.
@@ -383,8 +416,18 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     with_taua = taua is not None
     if with_taua:
         arrays.append(_prep(taua, Lp, G_pad, Bp, "lbb"))
+    fused = cloud_fields is not None
     if cloudy:
-        if clouds_blocked:
+        if fused:
+            # (cldfmc, ciwpmc, clwpmc, taucmc) (Lp, G_pad, Bp) +
+            # per-band ice/liq coeffs (Lp, 16, Bp): cldprmc runs
+            # inside the kernel
+            cldf_t, ciwp_t, clwp_t, tauc_t, abi_t, abl_t = cloud_fields
+            if cldf_t.shape != (Lp, G_pad, Bp):
+                raise ValueError("fused cloud fields must be blocked "
+                                 "(Lp, G_pad, Bp)")
+            arrays += [cldf_t, ciwp_t, clwp_t, tauc_t, abi_t, abl_t]
+        elif clouds_blocked:
             arrays.append(cldf_g)
             arrays.append(odcld_g)
         else:
@@ -394,16 +437,16 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     # whole-(Lp) VMEM residency: each input is DMA'd once per column
     # tile instead of once per sweep.  Budget: 2x (pipeline double
     # buffer) x per-tile bytes, kept well under the 100 MB VMEM limit.
-    n_gres = 2 + (2 if cloudy else 0)
-    n_bres = 3 + (1 if with_taua else 0)
+    n_gres = 2 + ((4 if fused else 2) if cloudy else 0)
+    n_bres = 3 + (1 if with_taua else 0) + (2 if fused else 0)
     per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
-    resident = 2 * per_tile < 48 * 1024 * 1024
+    resident = 2 * per_tile < 64 * 1024 * 1024
 
     run = _build_kernel(L, Lp, Lc, G, G_pad, tile, L1p, bool(cloudy),
                         bool(idrv), with_taua, float(gate_thresh),
                         tuple(int(v) for v in ngb0),
                         tuple(float(v) for v in delwave),
-                        bool(resident), bool(interpret))
+                        bool(resident), bool(fused), bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)
     return tuple(out[i] for i in range(out.shape[0]))
@@ -414,8 +457,8 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                              odcld_g, taua=None, *, cloudy, gate_thresh,
                              static, idrv, heatfac_val, istart=1,
                              iend=16, native=False, clouds_blocked=False,
-                             planck_blocked=False, tile=128,
-                             interpret=False):
+                             planck_blocked=False, cloud_fields=None,
+                             tile=128, interpret=False):
     """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
 
     Forward fluxes come from the Pallas kernel; reverse-mode runs
@@ -438,6 +481,7 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
         if len(ngb0) != G:
             raise ValueError("taut g-dim must match selected bands")
 
+    fused = cloud_fields is not None
     flux_kw = dict(gate_thresh=gate_thresh, ngb0=ngb0, delwave=delwave,
                    cloudy=cloudy, idrv=idrv, native=native,
                    clouds_blocked=clouds_blocked,
@@ -446,22 +490,42 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
 
     @jax.custom_vjp
     def fluxes(taut, fracs, planklay, planklev, plankbnd, dplankbnd_dt,
-               semiss, pwvcm, pz, cldf_g, odcld_g, taua):
+               semiss, pwvcm, pz, cldf_g, odcld_g, taua, cloud_fields):
         return rt_fluxes_pallas(taut, fracs, planklay, planklev,
                                 plankbnd, dplankbnd_dt, semiss, pwvcm,
-                                cldf_g, odcld_g, taua, **flux_kw)
+                                cldf_g, odcld_g, taua,
+                                cloud_fields=cloud_fields, **flux_kw)
 
     def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
-                   taua):
+                   taua, cloud_fields):
         B = pwvcm.shape[0]
+        if fused:
+            # reconstruct (B, L, G) cldf/odcld with the cldprmc math
+            # (identical f32 ops to the in-kernel fused path)
+            cldf_t, ciwp_t, clwp_t, tauc_t, abi_t, abl_t = cloud_fields
+            tb = lambda x: jnp.transpose(x[:, :len(ngb0), :B],
+                                         (2, 0, 1))
+            cldf_g = tb(cldf_t)
+            ciwp = tb(ciwp_t)
+            clwp = tb(clwp_t)
+            tauc = tb(tauc_t)
+            absc_i = jnp.transpose(abi_t[:, :, :B], (2, 0, 1))[..., ngb0]
+            absc_l = jnp.transpose(abl_t[:, :, :B], (2, 0, 1))[..., ngb0]
+            absc_i = jnp.where(ciwp == 0.0, 0.0, absc_i)
+            absc_l = jnp.where(clwp == 0.0, 0.0, absc_l)
+            cwp = ciwp + clwp
+            active = (cldf_g >= CLDMIN) & (
+                (cwp >= CLDMIN) | (tauc >= CLDMIN))
+            odcld_g = jnp.where(
+                active, ciwp * absc_i + clwp * absc_l, tauc)
         if blocked:
             taut = jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1))
             fracs = jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1))
         elif native:
             taut = jnp.transpose(taut, (2, 1, 0))
             fracs = jnp.transpose(fracs, (2, 1, 0))
-        if clouds_blocked and cloudy:
+        if clouds_blocked and cloudy and not fused:
             cldf_g = jnp.transpose(cldf_g[:, :len(ngb0), :B], (2, 0, 1))
             odcld_g = jnp.transpose(odcld_g[:, :len(ngb0), :B],
                                     (2, 0, 1))
@@ -493,7 +557,8 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
     fluxes.defvjp(fwd, bwd)
 
     res = fluxes(taut, fracs, planklay, planklev, plankbnd,
-                 dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g, taua)
+                 dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g, taua,
+                 cloud_fields)
     totuflux, totdflux, totuclfl, totdclfl = res[:4]
 
     fnet = totuflux - totdflux

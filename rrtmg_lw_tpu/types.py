@@ -72,24 +72,29 @@ class McicaClouds(NamedTuple):
     relqmc: jnp.ndarray        # (B, L)
 
 
+NGPT_PAD = 144             # NGPT padded to a sublane multiple
+
+
 class McicaCloudsBlocked(NamedTuple):
     """McicaClouds with the per-g-point arrays pre-transposed to the
-    Pallas pipeline's native (L, NGPT, B) layout (columns in the
-    128-lane dimension).  Producing clouds directly in this layout
-    (e.g. utils.synthetic.make_mcica_clouds(layout="blocked"), or a
-    host pipeline that stores sub-columns g-major like the reference's
-    cldfmcl(ngptlw, ncol, nlay) — rrtmg_lw_rad.f90:117) lets the McICA
-    path skip two full-size (B, L, G) <-> (L, G, B) relayout passes."""
-    cldfmc: jnp.ndarray        # (L, NGPT, B) 0/1 cloud fraction
-    ciwpmc: jnp.ndarray        # (L, NGPT, B) in-cloud ice water path
-    clwpmc: jnp.ndarray        # (L, NGPT, B)
-    taucmc: jnp.ndarray        # (L, NGPT, B) in-cloud optical depth
+    Pallas pipeline's native padded (L, NGPT_PAD, B) layout (columns in
+    the 128-lane dimension, g zero-padded 140->144 so the arrays stream
+    straight into the RT sweep kernel).  Producing clouds directly in
+    this layout (e.g. utils.synthetic.make_mcica_clouds(
+    layout="blocked"), or a host pipeline that stores sub-columns
+    g-major like the reference's cldfmcl(ngptlw, ncol, nlay) —
+    rrtmg_lw_rad.f90:117) lets the McICA path skip two full-size
+    relayout passes and two pad passes per step."""
+    cldfmc: jnp.ndarray        # (L, NGPT_PAD, B) 0/1 cloud fraction
+    ciwpmc: jnp.ndarray        # (L, NGPT_PAD, B) in-cloud ice water path
+    clwpmc: jnp.ndarray        # (L, NGPT_PAD, B)
+    taucmc: jnp.ndarray        # (L, NGPT_PAD, B) in-cloud optical depth
     reicmc: jnp.ndarray        # (B, L)
     relqmc: jnp.ndarray        # (B, L)
 
     def to_batch(self) -> "McicaClouds":
         """Relayout back to (B, L, NGPT) for the non-blocked paths."""
-        t = lambda x: jnp.transpose(x, (2, 0, 1))
+        t = lambda x: jnp.transpose(x[:, :NGPT, :], (2, 0, 1))
         return McicaClouds(t(self.cldfmc), t(self.ciwpmc),
                            t(self.clwpmc), t(self.taucmc),
                            self.reicmc, self.relqmc)

@@ -111,7 +111,11 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
     reic = np.full((ncol, nlay), 30.0)
     relq = np.full((ncol, nlay), 10.0)
     if layout == "blocked":
-        t = lambda x: np.transpose(x, (1, 2, 0))     # -> (L, NGPT, B)
+        gp = -(-ngpt // 8) * 8
+
+        def t(x):                           # -> (L, NGPT_PAD, B)
+            xt = np.transpose(x, (1, 2, 0))
+            return np.pad(xt, ((0, 0), (0, gp - ngpt), (0, 0)))
         return McicaCloudsBlocked(
             cldfmc=arr(t(cldf)), ciwpmc=arr(t(ciwp)),
             clwpmc=arr(t(clwp)), taucmc=arr(t(tauc)),

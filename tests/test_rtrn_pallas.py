@@ -131,6 +131,48 @@ def test_planck_blocked_parity(stack):
             np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)
 
 
+def test_fused_clouds_parity(stack):
+    """cloud_fields (in-kernel cldprmc) must reproduce the separate
+    cldprmc_blocked + clouds_blocked path exactly."""
+    from rrtmg_lw_tpu.ops import cldprop as cld_ops
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+    model, prof, sc, taut, fracs, _, _ = stack
+    B, L = prof.pavel.shape
+    cl_b = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                             layout="blocked")
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+
+    def to_blocked(x):   # (B, L, G) -> (L, G_pad, B)
+        return jnp.pad(jnp.transpose(x, (1, 2, 0)),
+                       ((0, 0), (0, 4), (0, 0)))
+    taut_b, fracs_b = to_blocked(taut), to_blocked(fracs)
+    taua0 = jnp.zeros_like(prof.taua)
+
+    odcld_t, cldf_t, _ = cld_ops.cldprmc_blocked(
+        cl_b, model.static_np, inflag=2, iceflag=3, liqflag=1)
+    ref = rtp.rt_random_overlap_pallas(
+        taut_b, fracs_b, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf_t,
+        odcld_t, taua=taua0, cloudy=True, gate_thresh=0.5,
+        native="blocked", clouds_blocked=True, interpret=True, tile=8,
+        **kw)
+
+    abi_t, abl_t, _ = cld_ops.cloud_optics_bands_blocked(
+        cl_b, model.static_np, iceflag=3, liqflag=1)
+    out = rtp.rt_random_overlap_pallas(
+        taut_b, fracs_b, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, None, None,
+        taua=taua0, cloudy=True, gate_thresh=0.5, native="blocked",
+        cloud_fields=(cl_b.cldfmc, cl_b.ciwpmc, cl_b.clwpmc,
+                      cl_b.taucmc, abi_t, abl_t),
+        interpret=True, tile=8, **kw)
+    for name in ("totuflux", "totdflux", "totuclfl", "totdclfl"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)), atol=2e-5, err_msg=name)
+
+
 def test_cldprmc_blocked_matches_plain(stack):
     from rrtmg_lw_tpu.ops import cldprop as cld_ops
     from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
