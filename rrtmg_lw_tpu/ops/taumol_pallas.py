@@ -9,15 +9,19 @@ This kernel removes every gather by exploiting the index structure
 ``row = (jp*5 + jt)*nspa + js`` (rrtmg_lw_taumol.f90:563-564):
 
   * the (jp, jt) pair indexes only 65 (lower) / 235 (upper) slots, so
-    ``k(jp, jt)`` becomes a one-hot matmul on the MXU against a fused
-    all-bands table whose rows hold, per band, the temperature taps
-    (t, t+1) x eta columns x g-points;
+    ``k(jp, jt)`` becomes a selection matmul on the MXU against a fused
+    all-bands table whose rows hold eta columns x g-points per band;
+    the fac00/fac10 (and fac01/fac11) pressure-temperature
+    interpolation weights are FOLDED INTO the selection matrix — each W
+    column carries the two temperature taps of one pressure slot as
+    weighted entries, so the two-tap fma per eta column collapses into
+    the matmul (rrtmg_lw_taumol.f90:565-573);
   * the eta (js) taps, self/foreign continuum (10/4 temperatures),
     minor-gas tables (19 temperatures) and the Planck-fraction eta
     interpolation are narrow index spaces handled by tiny one-hot
     matmuls or compare-select sums on the VPU;
-  * chi_mls(gas, jp+1) (minor-gas over-abundance adjustments) rides
-    along as 7 extra table rows from the same matmul.
+  * chi_mls(gas, jp+1) (minor-gas over-abundance adjustments) comes
+    from its own small pressure-indexed one-hot matmul.
 
 Layout: everything is computed TRANSPOSED — (g, cells) with the cell
 tile in the 128-lane dimension — so the hundreds of per-band vector
@@ -27,9 +31,12 @@ to 8-row chunks so every sublane slice is aligned.  Everything for a
 tile of T cells stays in VMEM; HBM traffic is the packed per-cell
 scalars in and (140, T) taug/fracs blocks out.
 
-Numerics match the XLA engine to f32 rounding (the one-hot matmul is
-an exact row selection; zero-weight taps contribute exact zeros; the
-in-band accumulation order is preserved).
+Numerics: tables and fac weights ship as nsplit/nsplit_w-level bf16
+decompositions summed in f32 on the MXU.  At the default 2 levels the
+effective table precision is ~2^-17 relative (measured max 7.6e-6) —
+far inside the 0.5 W/m2 flux budget; at 3 levels the kernel matches
+the XLA engine to f32 rounding.  The f64 XLA engine remains the
+golden-parity reference.
 """
 
 from __future__ import annotations
@@ -71,7 +78,8 @@ def _pad8(n: int) -> int:
 
 
 class RegionTables(NamedTuple):
-    keyT: np.ndarray         # (Dk, R) transposed fused key table (+chi)
+    keyT: np.ndarray         # (Dk, R) transposed fused key table
+    chiT: np.ndarray         # (8, P) chi_mls rows indexed by pressure
     selfT: np.ndarray        # (Ds, 10) or None
     forT: np.ndarray         # (Df, 4) or None
     minorT: np.ndarray       # (Dm, 19) or None
@@ -83,7 +91,6 @@ class RegionTables(NamedTuple):
     minor_ofs: dict          # (band, table) -> (offset, stride, nk)
     frac_ofs: dict           # band -> (offset, nrow_eta or 0)
     cfc_ofs: dict            # (band, vec) -> offset
-    chi_ofs: int
 
 
 def build_region_tables(ktables: dict, static: dict, lower: bool,
@@ -91,7 +98,6 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
     P = 13 if lower else 47
     R = P * 5
     chi = np.asarray(static["chi_mls"], np.float64)      # (7, 59)
-    T1 = [1, 2, 3, 4, 4]                                 # t+1 clamped
 
     key_rows, key_ofs = [], {}
     self_rows, self_ofs = [], {}
@@ -120,13 +126,11 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
             nsp = max((NSPA if lower else NSPB)[b - 1], 1)
             k = np.asarray(t["absa" if lower else "absb"],
                            np.float64).reshape(P, 5, nsp, ng)
-            chunks = []
-            for tap in (0, 1):
-                kk = k if tap == 0 else k[:, T1]
-                for s in range(nsp):
-                    # (ng, R): column r = p*5+t
-                    chunks.append(kk[:, :, s, :].transpose(2, 0, 1)
-                                  .reshape(ng, R))
+            # single tap per eta column: the t+1 temperature tap is a
+            # second weighted entry in the fac-folded selection W, not
+            # a duplicated table copy
+            chunks = [k[:, :, s, :].transpose(2, 0, 1).reshape(ng, R)
+                      for s in range(nsp)]
             key_ofs[b] = add_chunks(key_rows, chunks, ng)
         if spec.tauself and not spec.zero:
             s = np.asarray(t["selfref"], np.float64)      # (10, ng)
@@ -163,27 +167,26 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
             v = np.asarray(t[vec], np.float64)[:, None]   # (ng, 1)
             cfc_ofs[(b, vec)] = add_chunks(cfc_rows, [v], ng)[0]
 
-    # chi rows: chi_mls(gas, jp+1): lower row r -> p = r//5, idx p+1;
-    # upper: idx p+13
-    prow = np.repeat(np.arange(P), 5)
-    chi_idx = np.clip((prow + 1) if lower else (prow + 13), 0, 58)
-    chi_blk = chi[:, chi_idx]                             # (7, R)
-    chi_ofs = sum(c.shape[0] for c in key_rows)
-    chi_pad = np.zeros((8, R))
-    chi_pad[:7] = chi_blk
-    key_rows.append(chi_pad)
+    # chi_mls(gas, jp+1) as its own pressure-indexed table: the key W
+    # now carries fac weights, so chi needs a separate unweighted
+    # one-hot selection over the P pressure slots (p from the same
+    # clipped (jp+1, jt1) row index the old in-keyT rows saw)
+    pcol = np.arange(P)
+    chi_idx = np.clip((pcol + 1) if lower else (pcol + 13), 0, 58)
+    chi_pad = np.zeros((8, P))
+    chi_pad[:7] = chi[:, chi_idx]                         # (7, P)
 
     def pack(rows):
         return (np.concatenate(rows, axis=0).astype(dtype)
                 if rows else None)
 
     return RegionTables(
-        keyT=pack(key_rows), selfT=pack(self_rows), forT=pack(for_rows),
+        keyT=pack(key_rows), chiT=chi_pad.astype(dtype),
+        selfT=pack(self_rows), forT=pack(for_rows),
         minorT=pack(minor_rows), fracT=pack(frac_rows_l),
         cfcT=pack(cfc_rows),
         key_ofs=key_ofs, self_ofs=self_ofs, for_ofs=for_ofs,
-        minor_ofs=minor_ofs, frac_ofs=frac_ofs, cfc_ofs=cfc_ofs,
-        chi_ofs=chi_ofs)
+        minor_ofs=minor_ofs, frac_ofs=frac_ofs, cfc_ofs=cfc_ofs)
 
 
 def _onehot_T(r, R, dtype):
@@ -193,46 +196,82 @@ def _onehot_T(r, R, dtype):
     return jnp.where(iota == r, 1.0, 0.0).astype(dtype)
 
 
-NSPLIT = 3
+# bf16 decomposition depths.  Each level adds ~8 mantissa bits:
+# 2 levels reproduce the f32 tables/facs to ~2^-17 relative (measured
+# max 7.6e-6 on the key tables — far below the 0.5 W/m2 physics budget
+# and comparable to accumulated f32 rounding elsewhere); 3 levels are
+# f32-exact.  Defaults favor speed (NSPLIT 3->2 measured 12.8->9.1 ms
+# on a v5e at B*L=245k); pass nsplit=nsplit_w=3 to PallasTaumol for
+# strict-parity work.  The f64 XLA engine remains the golden-parity
+# reference either way.
+NSPLIT = 2
+NSPLIT_W = 2
 
 
-def _split3(tbl: np.ndarray) -> np.ndarray:
-    """bf16 decomposition, rows concatenated: (NSPLIT*D, C) bf16.
+def _split(tbl: np.ndarray, nsplit: int = NSPLIT) -> np.ndarray:
+    """bf16 decomposition, rows concatenated: (nsplit*D, C) bf16.
 
-    The selection matmuls contract a one-hot W (0/1 entries — exact in
-    bf16) against f32 tables.  Mosaic only offers DEFAULT (one bf16
-    pass) or HIGHEST (six passes) MXU precision; a one-hot selection
-    needs full table precision but only one real product per output, so
-    hi/mid/lo bf16 components summed in f32 reproduce the f32 table to
-    ~2^-24 relative at half the HIGHEST pass count.  (NSPLIT=2 measured
-    identical wall time on a v5e — the kernel is VPU-bound, not
-    MXU-bound — so the extra split is free accuracy.)"""
+    Mosaic only offers DEFAULT (one bf16 pass) or HIGHEST (six passes)
+    MXU precision; bf16 components summed in f32 reproduce the f32
+    table to ~2^-(9*nsplit) relative at a fraction of the HIGHEST pass
+    count."""
     x = tbl.astype(np.float32)
     parts = []
-    for _ in range(NSPLIT):
+    for _ in range(nsplit):
         p = x.astype(jnp.bfloat16)
         x = x - np.asarray(p, np.float32)
         parts.append(np.asarray(p))
     return np.concatenate(parts, axis=0)
 
 
-def _dot(tbls, W):
-    """Selection matmul against a split bf16 table (NSPLIT*D, C)."""
-    D = tbls.shape[0] // NSPLIT
+def _dot(tbls, W, nsplit: int = NSPLIT):
+    """Selection matmul against a split bf16 table (nsplit*D, C)."""
+    D = tbls.shape[0] // nsplit
     M = jnp.dot(tbls, W.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
     acc = M[:D]
-    for s in range(1, NSPLIT):
+    for s in range(1, nsplit):
         acc = acc + M[s * D:(s + 1) * D]
     return acc
+
+
+def _fac_w(r, fac_a, fac_b, R, dtype):
+    """Fac-folded selection W (R, T): fac_a at clipped row r and fac_b
+    at the t+1-clamped tap row of the same pressure slot — the
+    reference's two temperature taps (rrtmg_lw_taumol.f90:563-573) as
+    one weighted two-entry column.  When t == 4 both entries land on
+    the same row and sum (the clamped tap equals the base tap there,
+    matching the old duplicated-table k[:, (1,2,3,4,4)] semantics)."""
+    p = r // 5
+    rb = p * 5 + jnp.minimum(r - p * 5 + 1, 4)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, r.shape[1]), 0)
+    W = (jnp.where(iota == r, fac_a, 0.0)
+         + jnp.where(iota == rb, fac_b, 0.0))
+    return W.astype(jnp.float32)
+
+
+def _dot_facw(tbls_tiled, W, nsplit: int = NSPLIT,
+              nsplit_w: int = NSPLIT_W):
+    """_dot with a non-binary f32 W: nsplit_w-level bf16 decomposition
+    of the fac weights, contracted in ONE matmul against a column-tiled
+    table (D, nsplit_w*R) so the MXU sees a single large dot instead of
+    nsplit_w serialized small ones."""
+    levels = []
+    rem = W
+    for _ in range(nsplit_w):
+        w = rem.astype(jnp.bfloat16)
+        rem = rem - w.astype(jnp.float32)
+        levels.append(w)
+    return _dot(tbls_tiled, jnp.concatenate(levels, axis=0), nsplit)
 
 
 class _Ctx(NamedTuple):
     sf: dict                 # name -> (1, T) float row
     si: dict                 # name -> (1, T) int row
-    M0: jnp.ndarray          # (Dk, T) key matmul at (jp, jt)
-    M1: jnp.ndarray          # (Dk, T) key matmul at (jp+1, jt1)
+    M0: jnp.ndarray          # (Dk, T) fac00/fac10-weighted key taps
+    M1: jnp.ndarray          # (Dk, T) fac01/fac11-weighted key taps
+    Mchi: jnp.ndarray        # (8, T) chi_mls at the (jp+1) slot
     Ms: jnp.ndarray          # (Ds, T) self at indself
     Mf: jnp.ndarray          # (Df, T) foreign at indfor
     Mm: jnp.ndarray          # (Dm, T) minor at indminor
@@ -252,8 +291,7 @@ def _adjusted_col(ctx: _Ctx, adj: Adj, dtype):
         chiref = jnp.full_like(chi_gas, adj.chi_const)
     else:
         m = _GAS_CHI[adj.gas] - 1
-        o = ctx.tabs.chi_ofs
-        chiref = ctx.M1[o + m: o + m + 1, :]
+        chiref = ctx.Mchi[m: m + 1, :]
     ratio = 1.0e20 * chi_gas / chiref
     adjfac = adj.base + jnp.maximum(ratio - adj.base, 0.0) ** adj.expnt
     adjcol = adjfac * chiref * ctx.sf["coldry"] * 1.0e-20
@@ -315,20 +353,15 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
         ws0 = _eta_weights(js0, fs, specparm, nspc, two_low, dtype)
         ws1 = _eta_weights(js1, fs1, specparm1, nspc, two_low, dtype)
 
+        # fac00*k(jt) + fac10*k(jt+1) already summed inside M0 (and
+        # fac01/fac11 inside M1) by the fac-folded selection W
         ofs, stride = tabs.key_ofs[b]
-        fac00, fac10 = sf["fac00"], sf["fac10"]
-        fac01, fac11 = sf["fac01"], sf["fac11"]
         acc0 = jnp.zeros((ng, T), dtype)
         acc1 = jnp.zeros((ng, T), dtype)
         for s in range(nspc):
             r0 = ofs + s * stride
-            r1 = ofs + (nspc + s) * stride
-            t0a = ctx.M0[r0: r0 + ng, :]
-            t0b = ctx.M0[r1: r1 + ng, :]
-            t1a = ctx.M1[r0: r0 + ng, :]
-            t1b = ctx.M1[r1: r1 + ng, :]
-            acc0 = acc0 + ws0[s] * (fac00 * t0a + fac10 * t0b)
-            acc1 = acc1 + ws1[s] * (fac01 * t1a + fac11 * t1b)
+            acc0 = acc0 + ws0[s] * ctx.M0[r0: r0 + ng, :]
+            acc1 = acc1 + ws1[s] * ctx.M1[r0: r0 + ng, :]
         taug = speccomb * acc0 + speccomb1 * acc1
 
     if spec.tauself:
@@ -432,7 +465,8 @@ class PallasTaumol:
     """
 
     def __init__(self, ktables: dict, static: dict, dtype=jnp.float32,
-                 tile: int = 256, interpret: bool = False):
+                 tile: int = 256, interpret: bool = False,
+                 nsplit: int = NSPLIT, nsplit_w: int = NSPLIT_W):
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("PallasTaumol supports float32 only")
         from .taumol import TaumolEngine
@@ -441,16 +475,22 @@ class PallasTaumol:
         self.dtype = jnp.float32
         self.tile = tile
         self.interpret = interpret
+        self.nsplit = nsplit
+        self.nsplit_w = nsplit_w
         self.low = build_region_tables(ktables, static, lower=True)
         self.up = build_region_tables(ktables, static, lower=False)
         self.chi_np = np.asarray(static["chi_mls"], np.float64)
-        # matmul'd tables (key/self/for/minor) ship as 3-way bf16 splits;
-        # directly-sliced tables (frac/cfc) stay f32
+        # matmul'd tables (key/chi/self/for/minor) ship as nsplit-way
+        # bf16 splits; directly-sliced tables (frac/cfc) stay f32
         self._packed = []
         for reg in (self.low, self.up):
-            for name in ("keyT", "selfT", "forT", "minorT"):
+            for name in ("keyT", "chiT", "selfT", "forT", "minorT"):
                 t = getattr(reg, name)
-                self._packed.append(None if t is None else _split3(t))
+                t = None if t is None else _split(t, nsplit)
+                if name == "keyT" and t is not None:
+                    # column-tiled for the single-dot fac-W contraction
+                    t = np.tile(t, (1, nsplit_w))
+                self._packed.append(t)
             for name in ("fracT", "cfcT"):
                 t = getattr(reg, name)
                 self._packed.append(t)
@@ -520,6 +560,7 @@ class PallasTaumol:
         low, up = self.low, self.up
         chi_np = self.chi_np
         dtype = self.dtype
+        ns, nw = self.nsplit, self.nsplit_w
         GP = _pad8(140)            # blocked-mode g rows (RT kernel layout)
 
         if blocked:
@@ -537,10 +578,10 @@ class PallasTaumol:
             def write_out(ref, arr):
                 ref[:] = arr
 
-        def kernel(scf_ref, sci_ref, keyl_ref, selfl_ref, forl_ref,
-                   minorl_ref, fracl_ref, cfcl_ref, keyu_ref, selfu_ref,
-                   foru_ref, minoru_ref, fracu_ref, cfcu_ref,
-                   taug_ref, fracs_ref):
+        def kernel(scf_ref, sci_ref, keyl_ref, chil_ref, selfl_ref,
+                   forl_ref, minorl_ref, fracl_ref, cfcl_ref, keyu_ref,
+                   chiu_ref, selfu_ref, foru_ref, minoru_ref, fracu_ref,
+                   cfcu_ref, taug_ref, fracs_ref):
             sf = {name: scf_ref[i: i + 1, :]
                   for i, name in enumerate(F_FIELDS + P_FIELDS)}
             si = {name: sci_ref[i: i + 1, :]
@@ -563,15 +604,19 @@ class PallasTaumol:
             Wmin = _onehot_T(si["indminor"], 19, dtype)
 
             def mdot(ref, W):
-                return _dot(ref[:], W) if ref is not None else None
+                return _dot(ref[:], W, ns) if ref is not None else None
 
             @pl.when(any_lower)
             def _lower():
-                W0l = _onehot_T(jnp.clip(jp * 5 + jt, 0, 64), 65, dtype)
-                W1l = _onehot_T(jnp.clip((jp + 1) * 5 + jt1, 0, 64), 65,
-                                dtype)
+                r0l = jnp.clip(jp * 5 + jt, 0, 64)
+                r1l = jnp.clip((jp + 1) * 5 + jt1, 0, 64)
+                W0l = _fac_w(r0l, sf["fac00"], sf["fac10"], 65, dtype)
+                W1l = _fac_w(r1l, sf["fac01"], sf["fac11"], 65, dtype)
+                Wchi = _onehot_T(r1l // 5, 13, dtype)
                 ctx_l = _Ctx(
-                    sf, si, _dot(keyl_ref[:], W0l), _dot(keyl_ref[:], W1l),
+                    sf, si, _dot_facw(keyl_ref[:], W0l, ns, nw),
+                    _dot_facw(keyl_ref[:], W1l, ns, nw),
+                    _dot(chil_ref[:], Wchi, ns),
                     mdot(selfl_ref, Wself), mdot(forl_ref, Wfor),
                     mdot(minorl_ref, Wmin),
                     fracl_ref[:] if fracl_ref is not None else None,
@@ -588,12 +633,15 @@ class PallasTaumol:
 
             @pl.when(any_upper)
             def _upper():
-                W0u = _onehot_T(jnp.clip((jp - 12) * 5 + jt, 0, 234),
-                                235, dtype)
-                W1u = _onehot_T(jnp.clip((jp - 11) * 5 + jt1, 0, 234),
-                                235, dtype)
+                r0u = jnp.clip((jp - 12) * 5 + jt, 0, 234)
+                r1u = jnp.clip((jp - 11) * 5 + jt1, 0, 234)
+                W0u = _fac_w(r0u, sf["fac00"], sf["fac10"], 235, dtype)
+                W1u = _fac_w(r1u, sf["fac01"], sf["fac11"], 235, dtype)
+                Wchi = _onehot_T(r1u // 5, 47, dtype)
                 ctx_u = _Ctx(
-                    sf, si, _dot(keyu_ref[:], W0u), _dot(keyu_ref[:], W1u),
+                    sf, si, _dot_facw(keyu_ref[:], W0u, ns, nw),
+                    _dot_facw(keyu_ref[:], W1u, ns, nw),
+                    _dot(chiu_ref[:], Wchi, ns),
                     mdot(selfu_ref, Wself), mdot(foru_ref, Wfor),
                     mdot(minoru_ref, Wmin),
                     fracu_ref[:] if fracu_ref is not None else None,
