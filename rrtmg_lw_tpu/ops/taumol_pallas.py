@@ -266,6 +266,17 @@ def _dot_facw(tbls_tiled, W, nsplit: int = NSPLIT,
     return _dot(tbls_tiled, jnp.concatenate(levels, axis=0), nsplit)
 
 
+def _dot_facw2(tbls_tiled, W0, W1, nsplit: int = NSPLIT,
+               nsplit_w: int = NSPLIT_W):
+    """Both key selections (the (jp,jt) and (jp+1,jt1) taps) in ONE
+    matmul: lane-concatenated [W0 | W1] doubles N instead of issuing
+    two dependent dots, halving fixed per-dot latency on the MXU."""
+    T = W0.shape[1]
+    M = _dot_facw(tbls_tiled, jnp.concatenate([W0, W1], axis=1),
+                  nsplit, nsplit_w)
+    return M[:, :T], M[:, T:]
+
+
 class _Ctx(NamedTuple):
     sf: dict                 # name -> (1, T) float row
     si: dict                 # name -> (1, T) int row
@@ -610,12 +621,18 @@ class PallasTaumol:
             def _lower():
                 r0l = jnp.clip(jp * 5 + jt, 0, 64)
                 r1l = jnp.clip((jp + 1) * 5 + jt1, 0, 64)
-                W0l = _fac_w(r0l, sf["fac00"], sf["fac10"], 65, dtype)
-                W1l = _fac_w(r1l, sf["fac01"], sf["fac11"], 65, dtype)
+                if keyl_ref is not None:
+                    W0l = _fac_w(r0l, sf["fac00"], sf["fac10"], 65,
+                                 dtype)
+                    W1l = _fac_w(r1l, sf["fac01"], sf["fac11"], 65,
+                                 dtype)
+                    M0l, M1l = _dot_facw2(keyl_ref[:], W0l, W1l,
+                                          ns, nw)
+                else:
+                    M0l = M1l = None
                 Wchi = _onehot_T(r1l // 5, 13, dtype)
                 ctx_l = _Ctx(
-                    sf, si, _dot_facw(keyl_ref[:], W0l, ns, nw),
-                    _dot_facw(keyl_ref[:], W1l, ns, nw),
+                    sf, si, M0l, M1l,
                     _dot(chil_ref[:], Wchi, ns),
                     mdot(selfl_ref, Wself), mdot(forl_ref, Wfor),
                     mdot(minorl_ref, Wmin),
@@ -635,12 +652,18 @@ class PallasTaumol:
             def _upper():
                 r0u = jnp.clip((jp - 12) * 5 + jt, 0, 234)
                 r1u = jnp.clip((jp - 11) * 5 + jt1, 0, 234)
-                W0u = _fac_w(r0u, sf["fac00"], sf["fac10"], 235, dtype)
-                W1u = _fac_w(r1u, sf["fac01"], sf["fac11"], 235, dtype)
+                if keyu_ref is not None:
+                    W0u = _fac_w(r0u, sf["fac00"], sf["fac10"], 235,
+                                 dtype)
+                    W1u = _fac_w(r1u, sf["fac01"], sf["fac11"], 235,
+                                 dtype)
+                    M0u, M1u = _dot_facw2(keyu_ref[:], W0u, W1u,
+                                          ns, nw)
+                else:
+                    M0u = M1u = None
                 Wchi = _onehot_T(r1u // 5, 47, dtype)
                 ctx_u = _Ctx(
-                    sf, si, _dot_facw(keyu_ref[:], W0u, ns, nw),
-                    _dot_facw(keyu_ref[:], W1u, ns, nw),
+                    sf, si, M0u, M1u,
                     _dot(chiu_ref[:], Wchi, ns),
                     mdot(selfu_ref, Wself), mdot(foru_ref, Wfor),
                     mdot(minoru_ref, Wmin),
