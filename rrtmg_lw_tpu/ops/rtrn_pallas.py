@@ -55,9 +55,14 @@ def _gas_factors(od):
     small = od <= 0.06
     od_safe = jnp.maximum(od, 0.06)           # match rtrn._gas_factors
     e_safe = jnp.exp(-od_safe)                # one exp serves both:
-    atrans = jnp.where(small, od - 0.5 * od * od, 1.0 - e_safe)
+    om = 1.0 - e_safe
+    atrans = jnp.where(small, od - 0.5 * od * od, om)
+    # 1/od - e/(1-e) == (om - od*e)/(od*om): one VPU division instead
+    # of two (a few-ulp deviation from rtrn._gas_factors, far below
+    # the f32 parity tolerance)
     tf = jnp.where(small, REC_6 * od,
-                   1.0 - 2.0 * (1.0 / od_safe - e_safe / (1.0 - e_safe)))
+                   1.0 - 2.0 * (om - od_safe * e_safe)
+                   / (od_safe * om))
     return atrans, tf
 
 
@@ -92,8 +97,16 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
 
     def kernel(*refs):
         refs = list(refs)
-        ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r = refs[:7]
-        k = 7
+        if resident:
+            # single plev array (Lp+1 levels); the up sweep reads the
+            # level-(row+1) Planck source from the pg_s scratch cache
+            ew_r, taut_r, fracs_r, play_r, plev_r, surf_r = refs[:6]
+            k = 6
+            plo_r = phi_r = None
+        else:
+            ew_r, taut_r, fracs_r, play_r, plo_r, phi_r, surf_r = \
+                refs[:7]
+            k = 7
         taua_r = None
         if with_taua:
             taua_r = refs[k]; k += 1
@@ -105,6 +118,16 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             else:
                 cldf_r, odcld_r = refs[k:k + 2]; k += 2
         out_r, rad_s, flag_s = refs[k:k + 3]
+        k += 3
+        if resident:
+            # down-sweep level cache: the up sweep replays
+            # atrans/tf/blay (+cloud factors) from VMEM instead of
+            # recomputing the exp/divide/matmul work per level
+            at_s, tf_s, blay_s, pg_s = refs[k:k + 4]
+            k += 4
+            if cloudy:
+                atot_s, tftot_s, efc_s, cly_s = refs[k:k + 4]
+                k += 4
         j = pl.program_id(1)
         down = j < nc
         chunk = jnp.where(down, nc - 1 - j, j - nc)
@@ -192,7 +215,29 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             for k in reversed(range(Lc)):
                 c = common(k)
                 f, blay, atrans, tf = c[:4]
-                dpl = edot(rd(plo_r, k)) - blay
+                if resident:
+                    row = chunk * Lc + k
+                    pg = edot(rd(plev_r, k))
+                    dpl = pg - blay
+                    at_s[pl.ds(row, 1)] = atrans[None]
+                    tf_s[pl.ds(row, 1)] = tf[None]
+                    blay_s[pl.ds(row, 1)] = blay[None]
+                    pg_s[pl.ds(row, 1)] = pg[None]
+                    if k == Lc - 1:
+                        # the up sweep needs the level-(row+1) Planck
+                        # source; every level but the top one is some
+                        # chunk's plo row — cache the top level here
+                        @pl.when(chunk == nc - 1)
+                        def _top():
+                            pg_s[pl.ds(Lp, 1)] = edot(
+                                rd(plev_r, Lc))[None]
+                    if cloudy:
+                        atot_s[pl.ds(row, 1)] = c[6][None]
+                        tftot_s[pl.ds(row, 1)] = c[7][None]
+                        efc_s[pl.ds(row, 1)] = c[5][None]
+                        cly_s[pl.ds(row, 1)] = c[8].astype(jnp.float32)
+                else:
+                    dpl = edot(rd(plo_r, k)) - blay
                 bbd = f * (blay + tf * dpl)
                 gassrc = atrans * bbd
                 radld = rad_s[0]
@@ -228,15 +273,32 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         def _up():
             anyc = flag_s[0:1, :] > 0.0
             for k in range(Lc):
-                c = common(k)
-                f, blay, atrans, tf = c[:4]
-                dpu = edot(rd(phi_r, k)) - blay
+                if resident:
+                    # replay the down sweep's per-level factors from
+                    # the VMEM cache: no exp/divide/matmul here
+                    row = chunk * Lc + k
+                    f = rd(fracs_r, k)
+                    atrans = at_s[pl.ds(row, 1)][0]
+                    tf = tf_s[pl.ds(row, 1)][0]
+                    blay = blay_s[pl.ds(row, 1)][0]
+                    dpu = pg_s[pl.ds(row + 1, 1)][0] - blay
+                    if cloudy:
+                        cldf = rd(cldf_r, k)
+                        atot = atot_s[pl.ds(row, 1)][0]
+                        tftot = tftot_s[pl.ds(row, 1)][0]
+                        efc = efc_s[pl.ds(row, 1)][0]
+                        cly = cly_s[pl.ds(row, 1)] > 0.0
+                else:
+                    c = common(k)
+                    f, blay, atrans, tf = c[:4]
+                    if cloudy:
+                        cldf, efc, atot, tftot, cly = c[4:]
+                    dpu = edot(rd(phi_r, k)) - blay
                 bbu = f * (blay + tf * dpu)
                 gassrc = bbu * atrans
                 radlu = rad_s[2]
                 radclru = rad_s[3]
                 if cloudy:
-                    cldf, efc, atot, tftot, cly = c[4:]
                     bbut = f * (blay + tftot * dpu)
                     rad_cld = (radlu - radlu * (atrans
                                                 + efc * (1.0 - atrans))
@@ -262,7 +324,6 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     dlu = rad_s[4]
                     dclru = rad_s[5]
                     if cloudy:
-                        cldf, efc, atot, tftot, cly = c[4:]
                         dlu_n = jnp.where(
                             cly,
                             dlu * cldf * (1.0 - atot)
@@ -286,6 +347,9 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                            memory_space=pltpu.VMEM)
         bxb = pl.BlockSpec((Lp, NBANDS, BT), whole,
                            memory_space=pltpu.VMEM)
+        pxb = pl.BlockSpec((Lp + 1, NBANDS, BT), whole,
+                           memory_space=pltpu.VMEM)
+        planck_specs = [bxb, pxb]            # play, plev
     else:
         chunk_map = lambda i, j: (jnp.where(j < nc, nc - 1 - j, j - nc),
                                   0, i)
@@ -293,9 +357,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                            memory_space=pltpu.VMEM)
         bxb = pl.BlockSpec((Lc, NBANDS, BT), chunk_map,
                            memory_space=pltpu.VMEM)
+        planck_specs = [bxb, bxb, bxb]       # play, plo, phi
     in_specs = [pl.BlockSpec((G_pad, NBANDS + 1), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                gxb, gxb, bxb, bxb, bxb,
+                gxb, gxb] + planck_specs + [
                 pl.BlockSpec((64, BT), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM)]
     if with_taua:
@@ -306,6 +371,26 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         else:
             in_specs += [gxb, gxb]
 
+    scratch_shapes = [
+        pltpu.VMEM((6, G_pad, BT), jnp.float32),
+        pltpu.VMEM((8, BT), jnp.float32),
+    ]
+    if resident:
+        # down-sweep level cache (at/tf/blay + plev_g rows)
+        scratch_shapes += [
+            pltpu.VMEM((Lp, G_pad, BT), jnp.float32),       # at_s
+            pltpu.VMEM((Lp, G_pad, BT), jnp.float32),       # tf_s
+            pltpu.VMEM((Lp, G_pad, BT), jnp.float32),       # blay_s
+            pltpu.VMEM((Lp + 1, G_pad, BT), jnp.float32),   # pg_s
+        ]
+        if cloudy:
+            scratch_shapes += [
+                pltpu.VMEM((Lp, G_pad, BT), jnp.float32),   # atot_s
+                pltpu.VMEM((Lp, G_pad, BT), jnp.float32),   # tftot_s
+                pltpu.VMEM((Lp, G_pad, BT), jnp.float32),   # efc_s
+                pltpu.VMEM((Lp, BT), jnp.float32),          # cly_s
+            ]
+
     def run(Bp, *arrays):
         return pl.pallas_call(
             kernel,
@@ -315,12 +400,9 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             out_specs=pl.BlockSpec((NOUT, L1p, BT),
                                    lambda i, j: (0, 0, i),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((6, G_pad, BT), jnp.float32),
-                pltpu.VMEM((8, BT), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=112 * 1024 * 1024),
             interpret=bool(interpret),
         )(jnp.asarray(ew_np), *arrays)
 
@@ -395,25 +477,49 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     surf = jnp.pad(surf, ((0, 0), (0, Bp - B)))
 
     spec_dims = "glb" if native else "lgb"
+    with_taua = taua is not None
+    fused0 = cloud_fields is not None
+
+    # whole-(Lp) VMEM residency: each input is DMA'd once per column
+    # tile instead of once per sweep, and the down sweep caches the
+    # per-level gas/cloud factors in VMEM scratch for the up sweep.
+    # Budget: 2x (pipeline double buffer) x per-tile input bytes +
+    # the level-cache scratch, kept under the 112 MB VMEM limit.
+    n_gres = 2 + ((4 if fused0 else 2) if cloudy else 0)
+    n_bres = 3 + (1 if with_taua else 0) + (2 if fused0 else 0)
+    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
+    cache_rows = 4 * Lp + 1 + (3 * Lp if cloudy else 0)
+    cache_bytes = cache_rows * G_pad * tile * 4
+    resident = 2 * per_tile + cache_bytes < 96 * 1024 * 1024
+
     if planck_blocked:
         # (L, 16, B) / (L+1, 16, B) from the Planck Pallas kernel;
         # on the blocked native path Lp == L and Bp == B so these pads
         # are no-ops
         pads = ((0, Lp - L), (0, 0), (0, Bp - planklay.shape[2]))
         play_a = jnp.pad(planklay, pads)
-        plo_a = jnp.pad(planklev[:-1], pads)
-        phi_a = jnp.pad(planklev[1:], pads)
+        if resident:
+            planck_arrays = [play_a,
+                             jnp.pad(planklev, ((0, Lp - L), (0, 0),
+                                                (0, Bp - B)))]
+        else:
+            planck_arrays = [play_a, jnp.pad(planklev[:-1], pads),
+                             jnp.pad(planklev[1:], pads)]
     else:
         play_a = _prep(planklay, Lp, G_pad, Bp, "lbb")
-        plo_a = _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb")
-        phi_a = _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb")
+        if resident:
+            planck_arrays = [play_a,
+                             _prep(planklev, Lp + 1, G_pad, Bp, "lbb")]
+        else:
+            planck_arrays = [
+                play_a, _prep(planklev[:, :-1, :], Lp, G_pad, Bp, "lbb"),
+                _prep(planklev[:, 1:, :], Lp, G_pad, Bp, "lbb")]
     arrays = [
         taut if blocked else _prep(taut, Lp, G_pad, Bp, spec_dims),
         fracs if blocked else _prep(fracs, Lp, G_pad, Bp, spec_dims),
-        play_a, plo_a, phi_a,
+    ] + planck_arrays + [
         surf,
     ]
-    with_taua = taua is not None
     if with_taua:
         arrays.append(_prep(taua, Lp, G_pad, Bp, "lbb"))
     fused = cloud_fields is not None
@@ -433,14 +539,6 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
         else:
             arrays.append(_prep(cldf_g, Lp, G_pad, Bp))
             arrays.append(_prep(odcld_g, Lp, G_pad, Bp))
-
-    # whole-(Lp) VMEM residency: each input is DMA'd once per column
-    # tile instead of once per sweep.  Budget: 2x (pipeline double
-    # buffer) x per-tile bytes, kept well under the 100 MB VMEM limit.
-    n_gres = 2 + ((4 if fused else 2) if cloudy else 0)
-    n_bres = 3 + (1 if with_taua else 0) + (2 if fused else 0)
-    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
-    resident = 2 * per_tile < 64 * 1024 * 1024
 
     run = _build_kernel(L, Lp, Lc, G, G_pad, tile, L1p, bool(cloudy),
                         bool(idrv), with_taua, float(gate_thresh),
