@@ -207,6 +207,34 @@ def _onehot_T(r, R, dtype):
 NSPLIT = 2
 NSPLIT_W = 2
 
+# The key-table contraction dimension is nsplit_w * R where R is the
+# full (jp, jt) row space (65 lower / 235 upper) — the MXU pads that to
+# the next 128 multiple (256 / 512), wasting 2-4x of the dominant
+# matmul.  Since cells arrive layer-major, each tile's jp values span a
+# narrow pressure range: a WINDOW-row window (chosen per tile from the
+# data, at WSTEP-row granularity) makes the contraction exactly
+# nsplit_w * WINDOW = 128.  WINDOW = 64 covers an ~11-pressure-slot jp
+# spread inside one tile (a >10x pressure ratio across columns of one
+# layer — far beyond any physical batch); wider inputs clamp to the
+# window edge and are flagged by PallasTaumol.window_ok.
+WINDOW = 64
+WSTEP = 8
+
+
+def _expand_windows(keyT_split: np.ndarray, R: int, window: int,
+                    wstep: int, nsplit_w: int):
+    """(D, R) split table -> (D, nwin * nsplit_w * window) where block
+    w holds columns [w*wstep, w*wstep+window) tiled nsplit_w times (the
+    fac-weight bf16 levels contract against identical table copies)."""
+    D = keyT_split.shape[0]
+    nwin = max(1, -(-(R - window) // wstep) + 1)
+    Rpad = (nwin - 1) * wstep + window
+    full = np.zeros((D, Rpad), keyT_split.dtype)
+    full[:, :R] = keyT_split
+    blocks = [np.tile(full[:, w * wstep: w * wstep + window],
+                      (1, nsplit_w)) for w in range(nwin)]
+    return np.concatenate(blocks, axis=1), nwin
+
 
 def _split(tbl: np.ndarray, nsplit: int = NSPLIT) -> np.ndarray:
     """bf16 decomposition, rows concatenated: (nsplit*D, C) bf16.
@@ -236,15 +264,24 @@ def _dot(tbls, W, nsplit: int = NSPLIT):
     return acc
 
 
-def _fac_w(r, fac_a, fac_b, R, dtype):
+def _fac_w(r, fac_a, fac_b, R, dtype, base=None):
     """Fac-folded selection W (R, T): fac_a at clipped row r and fac_b
     at the t+1-clamped tap row of the same pressure slot — the
     reference's two temperature taps (rrtmg_lw_taumol.f90:563-573) as
     one weighted two-entry column.  When t == 4 both entries land on
     the same row and sum (the clamped tap equals the base tap there,
-    matching the old duplicated-table k[:, (1,2,3,4,4)] semantics)."""
+    matching the old duplicated-table k[:, (1,2,3,4,4)] semantics).
+
+    With ``base`` the rows are relative to a WINDOW-row pressure
+    window starting at that (data-dependent) table row: R is then the
+    window size and out-of-window rows clamp to its edges (they only
+    occur for inputs whose per-tile jp spread exceeds ~11 reference
+    pressure slots — surfaced by PallasTaumol.window_ok)."""
     p = r // 5
     rb = p * 5 + jnp.minimum(r - p * 5 + 1, 4)
+    if base is not None:
+        r = jnp.clip(r - base, 0, R - 1)
+        rb = jnp.clip(rb - base, 0, R - 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (R, r.shape[1]), 0)
     W = (jnp.where(iota == r, fac_a, 0.0)
          + jnp.where(iota == rb, fac_b, 0.0))
@@ -477,7 +514,8 @@ class PallasTaumol:
 
     def __init__(self, ktables: dict, static: dict, dtype=jnp.float32,
                  tile: int = 256, interpret: bool = False,
-                 nsplit: int = NSPLIT, nsplit_w: int = NSPLIT_W):
+                 nsplit: int = NSPLIT, nsplit_w: int = NSPLIT_W,
+                 window: int = WINDOW):
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("PallasTaumol supports float32 only")
         from .taumol import TaumolEngine
@@ -488,25 +526,44 @@ class PallasTaumol:
         self.interpret = interpret
         self.nsplit = nsplit
         self.nsplit_w = nsplit_w
+        self.window = window
         self.low = build_region_tables(ktables, static, lower=True)
         self.up = build_region_tables(ktables, static, lower=False)
         self.chi_np = np.asarray(static["chi_mls"], np.float64)
         # matmul'd tables (key/chi/self/for/minor) ship as nsplit-way
         # bf16 splits; directly-sliced tables (frac/cfc) stay f32
         self._packed = []
-        for reg in (self.low, self.up):
+        # the flat kernel (arbitrary-batch path; tiles may straddle
+        # layers) always contracts the full key row space; the blocked
+        # kernel (layer-pure tiles) additionally gets a windowed key
+        # table variant (same bf16 values, overlapping column windows)
+        self._nwin = {}
+        self._packed_win = []
+        for reg, R in ((self.low, 65), (self.up, 235)):
             for name in ("keyT", "chiT", "selfT", "forT", "minorT"):
                 t = getattr(reg, name)
                 t = None if t is None else _split(t, nsplit)
+                tw = t
                 if name == "keyT" and t is not None:
-                    # column-tiled for the single-dot fac-W contraction
+                    if window:
+                        tw, nwin = _expand_windows(t, R, window, WSTEP,
+                                                   nsplit_w)
+                        self._nwin[R] = nwin
+                    # column-tiled for the single-dot contraction
                     t = np.tile(t, (1, nsplit_w))
+                    if not window:
+                        tw = t
                 self._packed.append(t)
+                self._packed_win.append(tw)
             for name in ("fracT", "cfcT"):
                 t = getattr(reg, name)
                 self._packed.append(t)
+                self._packed_win.append(t)
         self._tables_dev = tuple(jnp.asarray(t) for t in self._packed
                                  if t is not None)
+        self._tables_dev_win = tuple(jnp.asarray(t)
+                                     for t in self._packed_win
+                                     if t is not None)
         self._kernel = self._build()
         self._kernel_blocked = self._build(blocked=True)
         self._call = self._build_vjp()
@@ -589,10 +646,12 @@ class PallasTaumol:
             def write_out(ref, arr):
                 ref[:] = arr
 
-        def kernel(scf_ref, sci_ref, keyl_ref, chil_ref, selfl_ref,
-                   forl_ref, minorl_ref, fracl_ref, cfcl_ref, keyu_ref,
-                   chiu_ref, selfu_ref, foru_ref, minoru_ref, fracu_ref,
-                   cfcu_ref, taug_ref, fracs_ref):
+        win = self.window if blocked else None
+
+        def kernel(wb_ref, scf_ref, sci_ref, keyl_ref, chil_ref,
+                   selfl_ref, forl_ref, minorl_ref, fracl_ref, cfcl_ref,
+                   keyu_ref, chiu_ref, selfu_ref, foru_ref, minoru_ref,
+                   fracu_ref, cfcu_ref, taug_ref, fracs_ref):
             sf = {name: scf_ref[i: i + 1, :]
                   for i, name in enumerate(F_FIELDS + P_FIELDS)}
             si = {name: sci_ref[i: i + 1, :]
@@ -601,6 +660,12 @@ class PallasTaumol:
             lm_row = sci_ref[li: li + 1, :]              # (1, T) int
             lm = lm_row > 0
             jp, jt, jt1 = si["jp"], si["jt"], si["jt1"]
+            if win:
+                # hoisted out of pl.when (program_id is not lowerable
+                # inside a cond branch in interpret mode)
+                pid = pl.program_id(0)
+                base_l = wb_ref[0, pid] * WSTEP
+                base_u = wb_ref[1, pid] * WSTEP
 
             # Cells arrive layer-major, so a tile is usually entirely
             # below or entirely above laytrop: evaluate each region only
@@ -622,10 +687,16 @@ class PallasTaumol:
                 r0l = jnp.clip(jp * 5 + jt, 0, 64)
                 r1l = jnp.clip((jp + 1) * 5 + jt1, 0, 64)
                 if keyl_ref is not None:
-                    W0l = _fac_w(r0l, sf["fac00"], sf["fac10"], 65,
-                                 dtype)
-                    W1l = _fac_w(r1l, sf["fac01"], sf["fac11"], 65,
-                                 dtype)
+                    if win:
+                        W0l = _fac_w(r0l, sf["fac00"], sf["fac10"],
+                                     win, dtype, base_l)
+                        W1l = _fac_w(r1l, sf["fac01"], sf["fac11"],
+                                     win, dtype, base_l)
+                    else:
+                        W0l = _fac_w(r0l, sf["fac00"], sf["fac10"],
+                                     65, dtype)
+                        W1l = _fac_w(r1l, sf["fac01"], sf["fac11"],
+                                     65, dtype)
                     M0l, M1l = _dot_facw2(keyl_ref[:], W0l, W1l,
                                           ns, nw)
                 else:
@@ -653,10 +724,16 @@ class PallasTaumol:
                 r0u = jnp.clip((jp - 12) * 5 + jt, 0, 234)
                 r1u = jnp.clip((jp - 11) * 5 + jt1, 0, 234)
                 if keyu_ref is not None:
-                    W0u = _fac_w(r0u, sf["fac00"], sf["fac10"], 235,
-                                 dtype)
-                    W1u = _fac_w(r1u, sf["fac01"], sf["fac11"], 235,
-                                 dtype)
+                    if win:
+                        W0u = _fac_w(r0u, sf["fac00"], sf["fac10"],
+                                     win, dtype, base_u)
+                        W1u = _fac_w(r1u, sf["fac01"], sf["fac11"],
+                                     win, dtype, base_u)
+                    else:
+                        W0u = _fac_w(r0u, sf["fac00"], sf["fac10"],
+                                     235, dtype)
+                        W1u = _fac_w(r1u, sf["fac01"], sf["fac11"],
+                                     235, dtype)
                     M0u, M1u = _dot_facw2(keyu_ref[:], W0u, W1u,
                                           ns, nw)
                 else:
@@ -685,65 +762,96 @@ class PallasTaumol:
                 write_out(fracs_ref,
                           jnp.where(lm, read_out(fracs_ref), fu_all))
 
-        tables = self._packed
+        tables = self._packed_win if (blocked and self.window) \
+            else self._packed
         live = [t is not None for t in tables]
 
-        def kernel_adapter(scf_ref, sci_ref, *refs):
+        def kernel_adapter(*refs):
+            if win:
+                wb_ref, scf_ref, sci_ref, *refs = refs
+            else:
+                scf_ref, sci_ref, *refs = refs
+                wb_ref = None
             it = iter(refs[:sum(live)])
             full = [next(it) if ok else None for ok in live]
             taug_ref, fracs_ref = refs[sum(live):]
-            kernel(scf_ref, sci_ref, *full, taug_ref, fracs_ref)
+            kernel(wb_ref, scf_ref, sci_ref, *full, taug_ref, fracs_ref)
 
-        tab_spec = lambda t: pl.BlockSpec(
-            t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        # index_map arity: +1 trailing scalar-prefetch ref with windows
+        if win:
+            row_map = lambda i, wb: (0, i)
+            const_map = lambda i, wb: (0, 0)
+        else:
+            row_map = lambda i: (0, i)
+            const_map = lambda i: (0, 0)
+
+        def tab_specs():
+            specs = []
+            for pos, t in enumerate(tables):
+                if t is None:
+                    continue
+                if win and pos in (0, 7):          # keyT lower/upper
+                    r = 0 if pos == 0 else 1
+                    imap = (lambda rr: lambda i, wb: (0, wb[rr, i]))(r)
+                    specs.append(pl.BlockSpec((t.shape[0], nw * win),
+                                              imap,
+                                              memory_space=pltpu.VMEM))
+                else:
+                    specs.append(pl.BlockSpec(t.shape, const_map,
+                                              memory_space=pltpu.VMEM))
+            return specs
+
         in_specs = [
-            pl.BlockSpec((NSF, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSI, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ] + [tab_spec(t) for t in tables if t is not None]
+            pl.BlockSpec((NSF, T), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSI, T), row_map, memory_space=pltpu.VMEM),
+        ] + tab_specs()
+
+        def call(grid, out_shape, out_specs, wb, scf, sci, tabs):
+            kw = dict(compiler_params=pltpu.CompilerParams(
+                          vmem_limit_bytes=100 * 1024 * 1024),
+                      interpret=self.interpret)
+            if win:
+                return pl.pallas_call(
+                    kernel_adapter,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=1, grid=(grid,),
+                        in_specs=in_specs, out_specs=out_specs),
+                    out_shape=out_shape, **kw,
+                )(wb, scf, sci, *tabs)
+            return pl.pallas_call(
+                kernel_adapter, grid=(grid,), in_specs=in_specs,
+                out_specs=out_specs, out_shape=out_shape, **kw,
+            )(scf, sci, *tabs)
 
         if blocked:
             # output in the RT sweep kernel's (L, G_pad, B) block layout:
             # grid step i covers layer i // (B//T), columns (i % (B//T))*T
             @functools.partial(jax.jit, static_argnums=(0, 1))
-            def run(L, B, scf, sci, *tabs):
+            def run(L, B, wb, scf, sci, *tabs):
                 nbt = B // T
-                ospec = pl.BlockSpec((1, GP, T),
-                                     lambda i: (i // nbt, 0, i % nbt),
+                if win:
+                    omap = lambda i, wb: (i // nbt, 0, i % nbt)
+                else:
+                    omap = lambda i: (i // nbt, 0, i % nbt)
+                ospec = pl.BlockSpec((1, GP, T), omap,
                                      memory_space=pltpu.VMEM)
-                return pl.pallas_call(
-                    kernel_adapter,
-                    out_shape=(
-                        jax.ShapeDtypeStruct((L, GP, B), jnp.float32),
-                        jax.ShapeDtypeStruct((L, GP, B), jnp.float32)),
-                    grid=(L * nbt,),
-                    in_specs=in_specs,
-                    out_specs=(ospec, ospec),
-                    compiler_params=pltpu.CompilerParams(
-                        vmem_limit_bytes=100 * 1024 * 1024),
-                    interpret=self.interpret,
-                )(scf, sci, *tabs)
+                return call(
+                    L * nbt,
+                    (jax.ShapeDtypeStruct((L, GP, B), jnp.float32),
+                     jax.ShapeDtypeStruct((L, GP, B), jnp.float32)),
+                    (ospec, ospec), wb, scf, sci, tabs)
 
             return run
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def run(C, scf, sci, *tabs):
-            grid = C // T
-            return pl.pallas_call(
-                kernel_adapter,
-                out_shape=(jax.ShapeDtypeStruct((140, C), jnp.float32),
-                           jax.ShapeDtypeStruct((140, C), jnp.float32)),
-                grid=(grid,),
-                in_specs=in_specs,
-                out_specs=(pl.BlockSpec((140, T), lambda i: (0, i),
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((140, T), lambda i: (0, i),
-                                        memory_space=pltpu.VMEM)),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
-                interpret=self.interpret,
-            )(scf, sci, *tabs)
+            ospec = pl.BlockSpec((140, T), row_map,
+                                 memory_space=pltpu.VMEM)
+            return call(
+                C // T,
+                (jax.ShapeDtypeStruct((140, C), jnp.float32),
+                 jax.ShapeDtypeStruct((140, C), jnp.float32)),
+                (ospec, ospec), None, scf, sci, tabs)
 
         return run
 
@@ -766,12 +874,60 @@ class PallasTaumol:
         Requires B % tile == 0 (each cell tile within one layer)."""
         return self._call_blocked(sc, prof)
 
+    def _window_meta(self, jp_flat, lm_flat):
+        """Per-tile pressure-window block indices wb (2, ntiles) int32
+        + scalar fits flag.  Derived from the same clipped row indices
+        the kernel uses; pure-region tiles get neutral fills so mixed
+        tiles don't widen the other region's window."""
+        T = self.tile
+        win = self.window
+        jp = jp_flat.reshape(-1, T)
+        lm = lm_flat.reshape(-1, T) > 0
+        pminl = jnp.clip(jnp.min(jnp.where(lm, jp, 12), axis=1), 0, 12)
+        pmaxl = jnp.clip(jnp.max(jnp.where(lm, jp, 0), axis=1) + 1,
+                         0, 12)
+        wl = jnp.clip((pminl * 5) // WSTEP, 0, self._nwin[65] - 1)
+        fitl = (pmaxl * 5 + 4) < wl * WSTEP + win
+        pminu = jnp.clip(jnp.min(jnp.where(lm, 58, jp), axis=1) - 12,
+                         0, 46)
+        pmaxu = jnp.clip(jnp.max(jnp.where(lm, 12, jp), axis=1) - 11,
+                         0, 46)
+        wu = jnp.clip((pminu * 5) // WSTEP, 0, self._nwin[235] - 1)
+        fitu = (pmaxu * 5 + 4) < wu * WSTEP + win
+        wb = jnp.stack([wl, wu]).astype(jnp.int32)
+        return wb, jnp.logical_and(jnp.all(fitl), jnp.all(fitu))
+
+    def window_ok(self, sc: SetcoefOut):
+        """Scalar bool diagnostic: True when every cell tile's jp
+        spread fits the WINDOW-row pressure window (kernel results are
+        exact); False when some selection rows were edge-clamped (only
+        possible for batches whose per-layer pressure spread exceeds
+        ~11 reference slots)."""
+        if not self.window:
+            return None
+        C = sc.jp.size
+        pad = (-C) % self.tile
+
+        def iv(x):
+            v = x.T.reshape(-1).astype(jnp.int32)
+            return jnp.pad(v, (0, pad), mode="edge") if pad else v
+
+        return self._window_meta(
+            iv(sc.jp), iv(sc.laytrop_mask.astype(jnp.int32)))[1]
+
+    def _wb(self, sci, ntiles):
+        if self.window:
+            return self._window_meta(sci[0], sci[len(I_FIELDS)])[0]
+        return jnp.zeros((2, ntiles), jnp.int32)
+
     def _forward_blocked(self, sc: SetcoefOut, prof: Profile):
         B, L = sc.jp.shape
         if B % self.tile:
             raise ValueError("blocked layout needs B % tile == 0")
         scf, sci = self._pack(sc, prof, pad=0)
-        return self._kernel_blocked(L, B, scf, sci, *self._tables_dev)
+        wb = self._wb(sci, B * L // self.tile)
+        return self._kernel_blocked(L, B, wb, scf, sci,
+                                    *self._tables_dev_win)
 
     def _forward_native(self, sc: SetcoefOut, prof: Profile):
         taug, fracs = self._forward_flat(sc, prof)
@@ -793,8 +949,11 @@ class PallasTaumol:
             return jnp.pad(v, (0, pad)) if pad else v
 
         def ivec(x):
+            # edge-pad so tail-pad cells mirror a real cell: the
+            # window metadata (per-tile jp min/max) must not see
+            # fabricated jp=0 cells
             v = x.T.reshape(-1).astype(jnp.int32)
-            return jnp.pad(v, (0, pad)) if pad else v
+            return jnp.pad(v, (0, pad), mode="edge") if pad else v
 
         cols = [fvec(getattr(sc, n)) for n in F_FIELDS]
         cols.append(fvec(prof.pavel))
