@@ -140,10 +140,22 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             def rd(ref, k):
                 return ref[k]
 
+        # band->g expansion: the one-hot ew is bf16-exact, so a 3-level
+        # bf16 split of the band values contracted in ONE MXU pass
+        # (K=48) reproduces f32 to ~2^-24 relative — Precision.HIGHEST
+        # would run the 6-pass emulation on every one of the ~300
+        # per-level dots per tile (measured ~1 ms/step)
+        ewb = ew_r[:, 0:NBANDS].astype(jnp.bfloat16)
+        ew3 = jnp.concatenate([ewb, ewb, ewb], axis=1)   # (G_pad, 48)
+
         def edot(m16):
-            return jnp.dot(ew_r[:, 0:NBANDS], m16,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            m1 = m16.astype(jnp.bfloat16)
+            r1 = m16 - m1.astype(jnp.float32)
+            m2 = r1.astype(jnp.bfloat16)
+            m3 = (r1 - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+            m = jnp.concatenate([m1, m2, m3], axis=0)    # (48, BT)
+            return jnp.dot(ew3, m, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
 
         secd_g = edot(surf_r[0:16, :])               # (G_pad, BT)
 
