@@ -31,7 +31,7 @@ from ..ops.setcoef import setcoef
 from ..ops.tables import build_lookup_tables
 from ..ops.taumol import TaumolEngine
 from ..types import (Atmosphere, BandClouds, Fluxes, McicaClouds,
-                     McicaCloudsBlocked, Profile)
+                     McicaCloudsBlocked, McicaCloudsCompact, Profile)
 
 
 class RRTMGLW:
@@ -207,12 +207,29 @@ class RRTMGLW:
             zero_g = jnp.zeros((B, L, len(gsel)), dtype)
             out = run_rt(zero_g, zero_g, False, 2.0)
         elif cfg.imca == 1:
-            assert isinstance(clouds, (McicaClouds, McicaCloudsBlocked))
+            assert isinstance(clouds, (McicaClouds, McicaCloudsBlocked,
+                                       McicaCloudsCompact))
+            if isinstance(clouds, McicaCloudsCompact) and not (
+                    blocked and cfg.inflag == 2):
+                clouds = clouds.to_blocked()
             if isinstance(clouds, McicaCloudsBlocked) and not blocked:
                 clouds = clouds.to_batch()
             # cldfmc is binary (0/1): >= 0.5 reproduces the reference's
             # cldfmc == 1 gate (rtrnmc.f90:317)
-            if (blocked and isinstance(clouds, McicaCloudsBlocked)
+            if (blocked and isinstance(clouds, McicaCloudsCompact)):
+                # generator-form clouds: mask + per-layer water paths
+                # stream into the kernel; per-g products never touch
+                # HBM (1/4 the cloud traffic of the blocked layout)
+                abi_t, abl_t, bounds_ok = \
+                    cld_ops.cloud_optics_bands_blocked(
+                        clouds, self.static_np, iceflag=cfg.iceflag,
+                        liqflag=cfg.liqflag)
+                cw_t = jnp.pad(
+                    jnp.stack([clouds.ciwp.T, clouds.clwp.T], axis=1),
+                    ((0, 0), (0, 6), (0, 0))).astype(dtype)
+                out = run_rt(None, None, True, 0.5, cloud_fields=(
+                    clouds.cldfmc, cw_t, abi_t, abl_t))
+            elif (blocked and isinstance(clouds, McicaCloudsBlocked)
                     and cfg.inflag == 2):
                 # fully fused: raw blocked cloud arrays stream straight
                 # into the RT kernel, which runs cldprmc internally —

@@ -190,7 +190,7 @@ def cloud_optics_bands_blocked(clouds, tables: dict, *, iceflag: int,
     ~2.5 ms/step at B=4096, L=60 in layout-conversion copies."""
     import jax
 
-    dtype = clouds.taucmc.dtype
+    dtype = clouds.reicmc.dtype
     reic, relq = clouds.reicmc, clouds.relqmc
     B = reic.shape[0]
     if use_pallas is None:

@@ -69,7 +69,7 @@ def _gas_factors(od):
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                   gate_thresh, ngb0_key, delwave_key, resident,
-                  fused_clouds, interpret):
+                  fused_clouds, compact, interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples.
 
     With ``resident`` the level-streamed inputs ship as whole-(Lp)
@@ -111,7 +111,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         if with_taua:
             taua_r = refs[k]; k += 1
         if cloudy:
-            if fused_clouds:
+            if compact:
+                cldf_r, cw_r, abi_r, abl_r = refs[k:k + 4]
+                k += 4
+            elif fused_clouds:
                 (cldf_r, ciwp_r, clwp_r, tauc_r,
                  abi_r, abl_r) = refs[k:k + 6]
                 k += 6
@@ -196,7 +199,23 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             if cloudy:
                 cldf = rd(cldf_r, k)
                 gate = cldf >= gate_thresh
-                if fused_clouds:
+                if compact:
+                    # generator-form clouds: re-form the per-g water
+                    # paths as (per-layer value x binary mask) — the
+                    # same f32 product mcica_subcol_lw materializes
+                    # (mcica_subcol_gen_lw.f90:655-668), fused here
+                    lay = rd(cw_r, k)                 # (8, BT)
+                    ciwp = lay[0:1] * cldf
+                    clwp = lay[1:2] * cldf
+                    absc_i = edot(rd(abi_r, k))
+                    absc_l = edot(rd(abl_r, k))
+                    absc_i = jnp.where(ciwp == 0.0, 0.0, absc_i)
+                    absc_l = jnp.where(clwp == 0.0, 0.0, absc_l)
+                    cwp = ciwp + clwp
+                    active = (cldf >= CLDMIN) & (cwp >= CLDMIN)
+                    od_raw = jnp.where(
+                        active, ciwp * absc_i + clwp * absc_l, 0.0)
+                elif fused_clouds:
                     # cldprmc (rrtmg_lw_cldprmc.f90:128-142) inline:
                     # band coeffs expand to g via the one-hot matmul
                     absc_i = edot(rd(abi_r, k))
@@ -378,7 +397,15 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
     if with_taua:
         in_specs += [bxb]
     if cloudy:
-        if fused_clouds:
+        if compact:
+            if resident:
+                cwspec = pl.BlockSpec((Lp, 8, BT), whole,
+                                      memory_space=pltpu.VMEM)
+            else:
+                cwspec = pl.BlockSpec((Lc, 8, BT), chunk_map,
+                                      memory_space=pltpu.VMEM)
+            in_specs += [gxb, cwspec, bxb, bxb]
+        elif fused_clouds:
             in_specs += [gxb, gxb, gxb, gxb, bxb, bxb]
         else:
             in_specs += [gxb, gxb]
@@ -491,14 +518,17 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     spec_dims = "glb" if native else "lgb"
     with_taua = taua is not None
     fused0 = cloud_fields is not None
+    compact = fused0 and len(cloud_fields) == 4
 
     # whole-(Lp) VMEM residency: each input is DMA'd once per column
     # tile instead of once per sweep, and the down sweep caches the
     # per-level gas/cloud factors in VMEM scratch for the up sweep.
     # Budget: 2x (pipeline double buffer) x per-tile input bytes +
     # the level-cache scratch, kept under the 112 MB VMEM limit.
-    n_gres = 2 + ((4 if fused0 else 2) if cloudy else 0)
-    n_bres = 3 + (1 if with_taua else 0) + (2 if fused0 else 0)
+    n_gres = 2 + ((1 if compact else (4 if fused0 else 2))
+                  if cloudy else 0)
+    n_bres = 3 + (1 if with_taua else 0) + \
+        ((3 if compact else 2) if fused0 else 0)
     per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
     cache_rows = 4 * Lp + 1 + (3 * Lp if cloudy else 0)
     cache_bytes = cache_rows * G_pad * tile * 4
@@ -536,7 +566,16 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
         arrays.append(_prep(taua, Lp, G_pad, Bp, "lbb"))
     fused = cloud_fields is not None
     if cloudy:
-        if fused:
+        if compact:
+            # generator-form clouds: binary mask (Lp, G_pad, Bp) +
+            # per-layer water paths packed as (Lp, 8, Bp) rows
+            # [ciwp, clwp, 0...] + per-band ice/liq coeffs
+            cldf_t, cw_t, abi_t, abl_t = cloud_fields
+            if cldf_t.shape != (Lp, G_pad, Bp):
+                raise ValueError("compact cloud mask must be blocked "
+                                 "(Lp, G_pad, Bp)")
+            arrays += [cldf_t, cw_t, abi_t, abl_t]
+        elif fused:
             # (cldfmc, ciwpmc, clwpmc, taucmc) (Lp, G_pad, Bp) +
             # per-band ice/liq coeffs (Lp, 16, Bp): cldprmc runs
             # inside the kernel
@@ -556,7 +595,8 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                         bool(idrv), with_taua, float(gate_thresh),
                         tuple(int(v) for v in ngb0),
                         tuple(float(v) for v in delwave),
-                        bool(resident), bool(fused), bool(interpret))
+                        bool(resident), bool(fused), bool(compact),
+                        bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)
     return tuple(out[i] for i in range(out.shape[0]))
@@ -610,6 +650,14 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
                    taua, cloud_fields):
         B = pwvcm.shape[0]
+        if fused and len(cloud_fields) == 4:
+            # compact: materialize the per-g products first
+            cldf_t, cw_t, abi_t, abl_t = cloud_fields
+            ciwp_t = cw_t[:, 0:1, :] * cldf_t
+            clwp_t = cw_t[:, 1:2, :] * cldf_t
+            tauc_t = jnp.zeros_like(cldf_t)
+            cloud_fields = (cldf_t, ciwp_t, clwp_t, tauc_t,
+                            abi_t, abl_t)
         if fused:
             # reconstruct (B, L, G) cldf/odcld with the cldprmc math
             # (identical f32 ops to the in-kernel fused path)

@@ -539,26 +539,50 @@ class PallasTaumol:
         # table variant (same bf16 values, overlapping column windows)
         self._nwin = {}
         self._packed_win = []
-        for reg, R in ((self.low, 65), (self.up, 235)):
-            for name in ("keyT", "chiT", "selfT", "forT", "minorT"):
-                t = getattr(reg, name)
-                t = None if t is None else _split(t, nsplit)
+        # chi/self/foreign/minor selections fuse into ONE
+        # block-diagonal "aux" matmul per region (their one-hot W
+        # blocks concatenate along K): 4 small MXU dots -> 1
+        self._aux_meta = {}
+        for reg, R, P in ((self.low, 65, 13), (self.up, 235, 47)):
+            t = _split(reg.keyT, nsplit)
+            tw = t
+            if window:
+                tw, nwin = _expand_windows(t, R, window, WSTEP,
+                                           nsplit_w)
+                self._nwin[R] = nwin
+            # column-tiled for the single-dot contraction
+            t = np.tile(t, (1, nsplit_w))
+            if not window:
                 tw = t
-                if name == "keyT" and t is not None:
-                    if window:
-                        tw, nwin = _expand_windows(t, R, window, WSTEP,
-                                                   nsplit_w)
-                        self._nwin[R] = nwin
-                    # column-tiled for the single-dot contraction
-                    t = np.tile(t, (1, nsplit_w))
-                    if not window:
-                        tw = t
-                self._packed.append(t)
-                self._packed_win.append(tw)
+            self._packed.append(t)
+            self._packed_win.append(tw)
+
+            meta = {}
+            r = c = 0
+            parts = []
+            for name in ("chiT", "selfT", "forT", "minorT"):
+                tab = getattr(reg, name)
+                if tab is None:
+                    continue
+                K = P if name == "chiT" else \
+                    {"selfT": 10, "forT": 4, "minorT": 19}[name]
+                meta[name] = (r, tab.shape[0], c)
+                parts.append((tab, r, c, K))
+                r += tab.shape[0]
+                c += K
+            C = np.zeros((r, c), np.float32)
+            for tab, r0, c0, K in parts:
+                C[r0:r0 + tab.shape[0], c0:c0 + K] = tab
+            meta["_shape"] = (r, c)
+            self._aux_meta[R] = meta
+            aux = _split(C, nsplit)
+            self._packed.append(aux)
+            self._packed_win.append(aux)
+
             for name in ("fracT", "cfcT"):
-                t = getattr(reg, name)
-                self._packed.append(t)
-                self._packed_win.append(t)
+                tab = getattr(reg, name)
+                self._packed.append(tab)
+                self._packed_win.append(tab)
         self._tables_dev = tuple(jnp.asarray(t) for t in self._packed
                                  if t is not None)
         self._tables_dev_win = tuple(jnp.asarray(t)
@@ -648,9 +672,10 @@ class PallasTaumol:
 
         win = self.window if blocked else None
 
-        def kernel(wb_ref, scf_ref, sci_ref, keyl_ref, chil_ref,
-                   selfl_ref, forl_ref, minorl_ref, fracl_ref, cfcl_ref,
-                   keyu_ref, chiu_ref, selfu_ref, foru_ref, minoru_ref,
+        aux_meta = self._aux_meta
+
+        def kernel(wb_ref, scf_ref, sci_ref, keyl_ref, auxl_ref,
+                   fracl_ref, cfcl_ref, keyu_ref, auxu_ref,
                    fracu_ref, cfcu_ref, taug_ref, fracs_ref):
             sf = {name: scf_ref[i: i + 1, :]
                   for i, name in enumerate(F_FIELDS + P_FIELDS)}
@@ -675,12 +700,28 @@ class PallasTaumol:
             any_lower = jnp.max(lm_row) > 0
             any_upper = jnp.min(lm_row) < 1
 
-            Wself = _onehot_T(si["indself"], 10, dtype)
-            Wfor = _onehot_T(si["indfor"], 4, dtype)
-            Wmin = _onehot_T(si["indminor"], 19, dtype)
+            def aux_dot(aux_ref, meta, rchi):
+                """Fused chi/self/foreign/minor selection: the one-hot
+                blocks concatenate along K against the block-diagonal
+                aux table — one MXU dot replaces four."""
+                Dtot, Kc = meta["_shape"]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (Kc, T), 0)
+                idx_of = {"chiT": rchi // 5, "selfT": si["indself"],
+                          "forT": si["indfor"], "minorT": si["indminor"]}
+                W = jnp.zeros((Kc, T), dtype)
+                for name, idx in idx_of.items():
+                    if name not in meta:
+                        continue
+                    _, _, c0 = meta[name]
+                    W = W + jnp.where(iota == c0 + idx, 1.0, 0.0)
+                M = _dot(aux_ref[:], W.astype(dtype), ns)
 
-            def mdot(ref, W):
-                return _dot(ref[:], W, ns) if ref is not None else None
+                def sl(name):
+                    if name not in meta:
+                        return None
+                    r0, D, _ = meta[name]
+                    return M[r0: r0 + D]
+                return sl
 
             @pl.when(any_lower)
             def _lower():
@@ -701,12 +742,10 @@ class PallasTaumol:
                                           ns, nw)
                 else:
                     M0l = M1l = None
-                Wchi = _onehot_T(r1l // 5, 13, dtype)
+                sl = aux_dot(auxl_ref, aux_meta[65], r1l)
                 ctx_l = _Ctx(
                     sf, si, M0l, M1l,
-                    _dot(chil_ref[:], Wchi, ns),
-                    mdot(selfl_ref, Wself), mdot(forl_ref, Wfor),
-                    mdot(minorl_ref, Wmin),
+                    sl("chiT"), sl("selfT"), sl("forT"), sl("minorT"),
                     fracl_ref[:] if fracl_ref is not None else None,
                     cfcl_ref[:] if cfcl_ref is not None else None,
                     low)
@@ -738,12 +777,10 @@ class PallasTaumol:
                                           ns, nw)
                 else:
                     M0u = M1u = None
-                Wchi = _onehot_T(r1u // 5, 47, dtype)
+                su = aux_dot(auxu_ref, aux_meta[235], r1u)
                 ctx_u = _Ctx(
                     sf, si, M0u, M1u,
-                    _dot(chiu_ref[:], Wchi, ns),
-                    mdot(selfu_ref, Wself), mdot(foru_ref, Wfor),
-                    mdot(minoru_ref, Wmin),
+                    su("chiT"), su("selfT"), su("forT"), su("minorT"),
                     fracu_ref[:] if fracu_ref is not None else None,
                     cfcu_ref[:] if cfcu_ref is not None else None,
                     up)
@@ -790,7 +827,7 @@ class PallasTaumol:
             for pos, t in enumerate(tables):
                 if t is None:
                     continue
-                if win and pos in (0, 7):          # keyT lower/upper
+                if win and pos in (0, 4):          # keyT lower/upper
                     r = 0 if pos == 0 else 1
                     imap = (lambda rr: lambda i, wb: (0, wb[rr, i]))(r)
                     specs.append(pl.BlockSpec((t.shape[0], nw * win),

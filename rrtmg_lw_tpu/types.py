@@ -100,6 +100,31 @@ class McicaCloudsBlocked(NamedTuple):
                            self.reicmc, self.relqmc)
 
 
+class McicaCloudsCompact(NamedTuple):
+    """Generator-form McICA clouds: the binary sub-column mask at g
+    resolution plus per-layer water paths.  The stochastic generator
+    constructs ciwpmcl/clwpmcl exactly as ``per-layer value x binary
+    mask`` (mcica_subcol_gen_lw.f90:655-668), so carrying the factors
+    instead of the products is numerically identical (the f32 product
+    is re-formed inside the RT kernel) at ~1/4 the HBM traffic of
+    McicaCloudsBlocked.  Valid for the inflag=2 parameterized-optics
+    path (ice/liquid water paths; per-g taucmc is identically zero
+    there — rrtmg_lw_cldprmc.f90:128-142)."""
+    cldfmc: jnp.ndarray        # (L, NGPT_PAD, B) 0/1 cloud mask
+    ciwp: jnp.ndarray          # (B, L) in-cloud ice water path
+    clwp: jnp.ndarray          # (B, L) in-cloud liquid water path
+    reicmc: jnp.ndarray        # (B, L)
+    relqmc: jnp.ndarray        # (B, L)
+
+    def to_blocked(self) -> "McicaCloudsBlocked":
+        """Materialize the per-g products (for non-fused paths)."""
+        m = self.cldfmc
+        ci = jnp.transpose(self.ciwp, (1, 0))[:, None, :] * m
+        cl = jnp.transpose(self.clwp, (1, 0))[:, None, :] * m
+        return McicaCloudsBlocked(m, ci, cl, jnp.zeros_like(m),
+                                  self.reicmc, self.relqmc)
+
+
 class BandClouds(NamedTuple):
     """Per-band deterministic cloud state (non-McICA paths)."""
     cldfrac: jnp.ndarray       # (B, L)

@@ -110,6 +110,19 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
     tauc = np.zeros((ncol, nlay, ngpt))
     reic = np.full((ncol, nlay), 30.0)
     relq = np.full((ncol, nlay), 10.0)
+    if layout == "compact":
+        # generator form: binary mask + per-layer water paths (the
+        # synthetic ciwp/clwp above are constant across g inside a
+        # layer by construction, like mcica_subcol_lw's outputs)
+        from ..types import McicaCloudsCompact
+        gp = -(-ngpt // 8) * 8
+        mask = np.pad(np.transpose(cldf, (1, 2, 0)),
+                      ((0, 0), (0, gp - ngpt), (0, 0)))
+        ciwp_l = ciwp.max(axis=2)           # (ncol, nlay)
+        clwp_l = clwp.max(axis=2)
+        return McicaCloudsCompact(
+            cldfmc=arr(mask), ciwp=arr(ciwp_l), clwp=arr(clwp_l),
+            reicmc=arr(reic), relqmc=arr(relq))
     if layout == "blocked":
         gp = -(-ngpt // 8) * 8
 

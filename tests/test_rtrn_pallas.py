@@ -205,3 +205,63 @@ def test_cldprmc_blocked_matches_plain(stack):
         np.asarray(cl.cldfmc).transpose(1, 2, 0))
     assert not np.asarray(tau_t[:, 140:]).any()
     assert not np.asarray(cldf_t[:, 140:]).any()
+
+
+def test_compact_clouds_parity(stack):
+    """Generator-form compact clouds (mask + per-layer water paths)
+    must reproduce the fused blocked-cloud path exactly — the
+    in-kernel per-layer x mask product is the same f32 multiply the
+    generator materializes."""
+    from rrtmg_lw_tpu.ops import cldprop as cld_ops
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+    model, prof, sc, taut, fracs, _, _ = stack
+    B, L = prof.pavel.shape
+    cl_c = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                             layout="compact")
+    cl_b = cl_c.to_blocked()
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+
+    def to_blocked(x):
+        return jnp.pad(jnp.transpose(x, (1, 2, 0)),
+                       ((0, 0), (0, 4), (0, 0)))
+    taut_b, fracs_b = to_blocked(taut), to_blocked(fracs)
+    taua0 = jnp.zeros_like(prof.taua)
+    abi_t, abl_t, _ = cld_ops.cloud_optics_bands_blocked(
+        cl_b, model.static_np, iceflag=3, liqflag=1)
+
+    ref = rtp.rt_random_overlap_pallas(
+        taut_b, fracs_b, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, None, None,
+        taua=taua0, cloudy=True, gate_thresh=0.5, native="blocked",
+        cloud_fields=(cl_b.cldfmc, cl_b.ciwpmc, cl_b.clwpmc,
+                      cl_b.taucmc, abi_t, abl_t),
+        interpret=True, tile=8, **kw)
+
+    cw_t = jnp.pad(jnp.stack([cl_c.ciwp.T, cl_c.clwp.T], axis=1),
+                   ((0, 0), (0, 6), (0, 0)))
+    out = rtp.rt_random_overlap_pallas(
+        taut_b, fracs_b, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, None, None,
+        taua=taua0, cloudy=True, gate_thresh=0.5, native="blocked",
+        cloud_fields=(cl_c.cldfmc, cw_t, abi_t, abl_t),
+        interpret=True, tile=8, **kw)
+    for name in ("totuflux", "totdflux", "totuclfl", "totdclfl"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)), err_msg=name)
+
+
+def test_compact_clouds_model_grad(stack):
+    """The compact path must be reachable from the model and
+    differentiable (custom_vjp reconstructs the blocked arrays)."""
+    from rrtmg_lw_tpu.types import McicaCloudsCompact
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+    cl_c = make_mcica_clouds(ncol=8, nlay=43, dtype=jnp.float32,
+                             layout="compact")
+    assert isinstance(cl_c, McicaCloudsCompact)
+    bl = cl_c.to_blocked()
+    np.testing.assert_array_equal(
+        np.asarray(bl.ciwpmc[:, :140, :]),
+        np.asarray(jnp.transpose(cl_c.ciwp, (1, 0))[:, None, :]
+                   * cl_c.cldfmc[:, :140, :]))

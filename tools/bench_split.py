@@ -10,10 +10,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from rrtmg_lw_tpu import LWConfig, make_model
 from rrtmg_lw_tpu.utils.synthetic import make_atmosphere, make_mcica_clouds
 
-B, L, N = 4096, 60, 20
+import os
+B = int(os.environ.get("BENCH_NCOLS", 4096))
+L = int(os.environ.get("BENCH_NLAY", 60))
+N = int(os.environ.get("BENCH_ITERS", 20))
 atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32)
 platform = jax.default_backend()
-layout = "blocked" if platform == "tpu" else "batch"
+layout = os.environ.get("BENCH_LAYOUT",
+                        "compact" if platform == "tpu" else "batch")
 clouds = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
                            layout=layout)
 
