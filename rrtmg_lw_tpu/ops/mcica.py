@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..types import McicaClouds
+from ..types import McicaClouds, McicaCloudsCompact
 
 NGPT = 140
 CLDMIN = 1.0e-20
@@ -158,6 +158,75 @@ def mcica_subcol_lw(key, icld: int, cldfrac, ciwp, clwp, rei, rel, tauc,
         ciwpmc=jnp.where(iscloudy, jnp.asarray(ciwp)[..., None], zero),
         clwpmc=jnp.where(iscloudy, jnp.asarray(clwp)[..., None], zero),
         taucmc=jnp.where(iscloudy, tauc_g, zero),
+        reicmc=jnp.asarray(rei), relqmc=jnp.asarray(rel))
+
+
+@partial(jax.jit, static_argnames=("icld",))
+def _native_cdf_blocked(key, icld: int, cldf_t, alpha_t):
+    """CDF (L, G, B) after overlap correlation — the Pallas pipeline's
+    g-major layout (like the reference's cldfmcl(ngptlw, ncol, nlay));
+    the overlap scan runs over the leading layer axis, so no relayout
+    passes appear anywhere.  Same overlap math as _native_cdf
+    (generate_stochastic_clouds, mcica_subcol_gen_lw.f90:484-645) with
+    independent draws in this layout."""
+    L, B = cldf_t.shape
+    dtype = cldf_t.dtype
+    if icld == 1:
+        return jax.random.uniform(key, (L, NGPT, B), dtype)
+    if icld == 3:
+        one = jax.random.uniform(key, (1, NGPT, B), dtype)
+        return jnp.broadcast_to(one, (L, NGPT, B))
+    if icld == 2:
+        cdf = jax.random.uniform(key, (L, NGPT, B), dtype)
+
+        def step(prev, xs):
+            cdf_l, cldf_below = xs
+            keep = prev > (1.0 - cldf_below)[None, :]
+            new = jnp.where(keep, prev,
+                            cdf_l * (1.0 - cldf_below)[None, :])
+            return new, new
+        _, rest = jax.lax.scan(step, cdf[0], (cdf[1:], cldf_t[:-1]))
+        return jnp.concatenate([cdf[0:1], rest], axis=0)
+    if icld in (4, 5):
+        k1, k2 = jax.random.split(key)
+        cdf = jax.random.uniform(k1, (L, NGPT, B), dtype)
+        cdf2 = jax.random.uniform(k2, (L, NGPT, B), dtype)
+
+        def step(prev, xs):
+            cdf_l, cdf2_l, alpha_l = xs
+            new = jnp.where(cdf2_l < alpha_l[None, :], prev, cdf_l)
+            return new, new
+        _, rest = jax.lax.scan(step, cdf[0],
+                               (cdf[1:], cdf2[1:], alpha_t[1:]))
+        return jnp.concatenate([cdf[0:1], rest], axis=0)
+    raise ValueError(f"invalid icld={icld}")
+
+
+def mcica_subcol_lw_compact(key, icld: int, cldfrac, ciwp, clwp, rei,
+                            rel, alpha=None, g_pad=144
+                            ) -> McicaCloudsCompact:
+    """Generator emitting the compact (binary mask + per-layer water
+    path) form with the mask already in the Pallas pipeline's padded
+    (L, G_pad, B) layout: a full generate+radiate step then runs with
+    zero relayout passes and 1/4 the cloud HBM traffic.
+
+    Sub-column statistics match mcica_subcol_lw (identical overlap
+    math; independent jax.random draws in g-major order).  For the
+    inflag=2 parameterized-optics path, where the per-g taucmc input
+    is never read (rrtmg_lw_cldprmc.f90:128-142)."""
+    cldfrac = jnp.asarray(cldfrac)
+    dtype = cldfrac.dtype
+    B, L = cldfrac.shape
+    cldf = jnp.where(cldfrac < CLDMIN, 0.0, cldfrac)
+    cldf_t = cldf.T
+    alpha_t = (jnp.zeros((L, B), dtype) if alpha is None
+               else jnp.asarray(alpha).T)
+    cdf = _native_cdf_blocked(key, icld, cldf_t, alpha_t)
+    iscloudy = cdf >= (1.0 - cldf_t)[:, None, :]
+    mask = jnp.pad(jnp.where(iscloudy, 1.0, 0.0).astype(dtype),
+                   ((0, 0), (0, g_pad - NGPT), (0, 0)))
+    return McicaCloudsCompact(
+        cldfmc=mask, ciwp=jnp.asarray(ciwp), clwp=jnp.asarray(clwp),
         reicmc=jnp.asarray(rei), relqmc=jnp.asarray(rel))
 
 

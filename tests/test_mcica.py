@@ -137,3 +137,49 @@ def test_get_alpha_exponential_random():
         juldat=200, cldfrac=jnp.asarray(cldfrac)))
     assert np.all(a4[:, 1:] > 0) and np.all(a4[:, 1:] < 1)
     assert not np.allclose(a4[0, 1], a4[2, 1])
+
+
+def test_compact_generator_statistics():
+    """mcica_subcol_lw_compact: per-layer cloudy fraction matches the
+    input cloud fraction statistically, icld=3 masks are level-uniform,
+    and the output feeds the compact model path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rrtmg_lw_tpu.ops import mcica
+    from rrtmg_lw_tpu.types import McicaCloudsCompact
+
+    B, L = 64, 12
+    rng = np.random.default_rng(3)
+    cldfrac = jnp.asarray(np.clip(rng.random((B, L)), 0.05, 0.95),
+                          jnp.float64)
+    ciwp = jnp.full((B, L), 5.0)
+    clwp = jnp.full((B, L), 20.0)
+    rei = jnp.full((B, L), 30.0)
+    rel = jnp.full((B, L), 10.0)
+    key = jax.random.PRNGKey(11)
+
+    for icld in (1, 2, 3):
+        cl = mcica.mcica_subcol_lw_compact(key, icld, cldfrac, ciwp,
+                                           clwp, rei, rel)
+        assert isinstance(cl, McicaCloudsCompact)
+        assert cl.cldfmc.shape == (L, 144, B)
+        # pad rows zero
+        assert not np.asarray(cl.cldfmc[:, 140:]).any()
+        frac = np.asarray(cl.cldfmc[:, :140, :]).mean(axis=1).T  # (B,L)
+        # binomial(140) 4-sigma envelope
+        sig = np.sqrt(np.asarray(cldfrac) * (1 - np.asarray(cldfrac))
+                      / 140.0)
+        assert (np.abs(frac - np.asarray(cldfrac)) < 4.5 * sig + 1e-9
+                ).mean() > 0.99
+        if icld == 3:
+            # maximum overlap: one draw broadcast over levels -> the
+            # mask is cloudy wherever cldfrac exceeds the draw
+            m = np.asarray(cl.cldfmc[:, :140, :])
+            # monotone in cldfrac along layers for fixed (g, col)
+            cf = np.asarray(cldfrac).T[:, None, :]
+            order = np.argsort(cf, axis=0)
+            ms = np.take_along_axis(np.broadcast_to(m, m.shape),
+                                    np.broadcast_to(order, m.shape),
+                                    axis=0)
+            assert (np.diff(ms, axis=0) >= 0).all()
