@@ -15,12 +15,10 @@ setcoef._planck_index: ind = int(T-159) clamped to [1, 180],
 frac = T - 159 - ind (frac may leave [0, 1) when clamped — the weights
 then extrapolate, exactly like the reference).
 
-Unwired scaffold as of round 1 — see PERF_NOTES.md roadmap.  Wire-up
-plan: radiation.from_profile (blocked RT path) computes
-planck_blocked = (planklay_t, planklev_lo_t, planklev_hi_t) here and
-passes them to rt_fluxes_pallas in place of the _prep'd setcoef
-outputs; setcoef's XLA planck arrays then dead-code-eliminate under
-jit.
+Wired into radiation.from_profile's blocked RT path: planck_blocked =
+(planklay_t, planklev_t) feed rt_fluxes_pallas in place of the
+_prep'd setcoef outputs; setcoef's XLA planck arrays then dead-code
+eliminate under jit.
 """
 
 from __future__ import annotations

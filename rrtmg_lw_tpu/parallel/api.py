@@ -13,23 +13,61 @@ from typing import Optional
 
 import jax
 
-from .mesh import SPEC, batch_sharding, spec_sharding
+from jax.sharding import PartitionSpec as P
+
+from .mesh import COLUMNS, SPEC, batch_sharding, shardings_for, \
+    spec_sharding
 
 
-def make_sharded_step(model, mesh, donate: bool = False):
+def _pspecs_for(tree, mesh):
+    """Matching pytree of PartitionSpecs (for shard_map in_specs)."""
+    return jax.tree_util.tree_map(lambda s: s.spec,
+                                  shardings_for(tree, mesh),
+                                  is_leaf=lambda x: x is None)
+
+
+def make_sharded_step(model, mesh, donate: bool = False,
+                      use_shard_map: bool | None = None):
     """jit-compile ``model(atm, clouds) -> Fluxes`` over the mesh.
 
-    Any pytree whose leaves carry columns on axis 0 works as input; the
-    output Fluxes are sharded the same way.
+    Inputs are placed by ``shard_batch`` (layout aware: batch-first
+    leaves shard axis 0, blocked/compact cloud arrays their last
+    axis); jit inherits those shardings, so any cloud layout works.
+
+    ``use_shard_map``: run the model per-shard under
+    ``jax.shard_map`` instead of whole-program GSPMD.  The physics is
+    fully independent per column, so per-shard execution is exact —
+    and it is required for the Pallas-kernel path on a real multi-chip
+    mesh (a pallas_call is a custom call GSPMD cannot partition).
+    Default: on when the model uses the Pallas RT path and there is no
+    spectral partition.
     """
     bs = batch_sharding(mesh)
+    if use_shard_map is None:
+        use_shard_map = (getattr(model, "rt_pallas", False)
+                         and mesh.shape[SPEC] == 1)
+    if use_shard_map:
+        model.spec_constraint = None
+
+        def step(atm, clouds=None):
+            in_specs = (_pspecs_for(atm, mesh),
+                        _pspecs_for(clouds, mesh))
+            f = jax.shard_map(
+                lambda a, c: model(a, c), mesh=mesh,
+                in_specs=in_specs, out_specs=P(COLUMNS),
+                check_vma=False)
+            return f(atm, clouds)
+
+        return jax.jit(step, out_shardings=bs,
+                       donate_argnums=(0,) if donate else ())
+
     model.spec_constraint = (
         spec_sharding(mesh) if mesh.shape[SPEC] > 1 else None)
 
     def step(atm, clouds=None):
         return model(atm, clouds)
 
-    return jax.jit(step, in_shardings=bs, out_shardings=bs,
+    return jax.jit(step, out_shardings=bs,
                    donate_argnums=(0,) if donate else ())
 
 

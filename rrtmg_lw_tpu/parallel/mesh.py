@@ -51,10 +51,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shardings_for(tree, mesh: Mesh):
+    """Matching pytree of NamedShardings with the columns axis placed
+    per leaf layout: batch-first (B, ...) leaves shard axis 0; the
+    blocked/compact cloud layouts carry columns on the LAST axis of
+    their (L, G_pad, B) per-g arrays."""
+    from ..types import McicaCloudsBlocked, McicaCloudsCompact
+    bs = batch_sharding(mesh)
+    last = NamedSharding(mesh, P(None, None, COLUMNS))
+    if isinstance(tree, McicaCloudsBlocked):
+        return McicaCloudsBlocked(last, last, last, last, bs, bs)
+    if isinstance(tree, McicaCloudsCompact):
+        return McicaCloudsCompact(last, bs, bs, bs, bs)
+    return jax.tree_util.tree_map(lambda x: bs, tree)
+
+
 def shard_batch(tree, mesh: Mesh):
-    """Device-put every leaf with its column-batch sharding (axis 0)."""
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    """Device-put every leaf with its column-batch sharding (layout
+    aware — see shardings_for)."""
+    sh = shardings_for(tree, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, sh)
 
 
 def global_batch_from_host_shards(mesh: Mesh, per_host_arrays):

@@ -60,3 +60,29 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("use_shard_map", [False, True])
+def test_sharded_compact_clouds(use_shard_map):
+    """Layout-aware sharding: compact clouds (mask columns on the last
+    axis) shard correctly under both GSPMD and shard_map."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rrtmg_lw_tpu.utils.synthetic import (
+        make_mcica_clouds as mk_clouds)
+    mesh = par.make_mesh(jax.devices()[:8], spec=1)
+    cfg = LWConfig(icld=2, imca=1, dtype="float64")
+    B, L = 16, 31
+    atm = make_atmosphere(ncol=B, nlay=L)
+    clouds = mk_clouds(ncol=B, nlay=L, layout="compact")
+
+    ref = make_model(cfg)(atm, clouds)
+
+    model = make_model(cfg)
+    step = par.make_sharded_step(model, mesh,
+                                 use_shard_map=use_shard_map)
+    out = step(par.shard_batch(atm, mesh),
+               par.shard_batch(clouds, mesh))
+    np.testing.assert_allclose(np.asarray(out.uflx),
+                               np.asarray(ref.uflx), rtol=1e-12)
+    assert not out.uflx.sharding.is_fully_replicated
