@@ -115,10 +115,17 @@ class RRTMGLW:
         # native path: taug/fracs stay in the taumol kernel's (G, L, B)
         # layout and flow straight into the RT kernel (aerosol folded in
         # there) — no (B, L, G) relayout passes in between.  rtrnmr
-        # (deterministic max-random) still consumes (B, L, G).
+        # (deterministic max-random) has its own Pallas sweep when the
+        # VMEM budget holds; otherwise it consumes (B, L, G) via the
+        # XLA scan.
         uses_rtmr = (clouds is not None and cfg.imca != 1
                      and cfg.icld >= 2)
-        native = (self.rt_pallas and not uses_rtmr
+        rtmr_pallas = False
+        if uses_rtmr and self.rt_pallas:
+            from ..ops import rtrn_pallas as _rtp
+            rtmr_pallas = _rtp.maxrand_supported(L, len(gsel),
+                                                 idrv=cfg.idrv)
+        native = (self.rt_pallas and (not uses_rtmr or rtmr_pallas)
                   and hasattr(self.engine, "forward_native"))
         # blocked: taumol emits the RT kernel's padded (L, G_pad, B)
         # block layout directly — zero relayout between the two kernels
@@ -257,15 +264,44 @@ class RRTMGLW:
                 out = run_rt(cldf_g, odcld_g, True, 0.5)
         else:
             assert isinstance(clouds, BandClouds)
-            taucloud, bounds_ok = cld_ops.cldprop(
-                clouds, self.static_np, inflag=cfg.inflag,
-                iceflag=cfg.iceflag, liqflag=cfg.liqflag)
-            odcld_g = taucloud[..., self.ngb0][..., gsel]
-            if cfg.icld == 1:
+            if cfg.icld == 1 and blocked:
+                # banded fused path: per-band cloud od stays at band
+                # resolution all the way into the kernel (expanded to
+                # g in-kernel); no (B, L, G) cloud arrays at all
+                taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                cl8_t = jnp.pad(clouds.cldfrac.T[:, None, :],
+                                ((0, 0), (0, 7), (0, 0))).astype(dtype)
+                out = run_rt(None, None, True, 1.0e-6,
+                             cloud_fields=(cl8_t, taucb_t))
+            else:
+                taucloud, bounds_ok = cld_ops.cldprop(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                odcld_g = taucloud[..., self.ngb0][..., gsel]
+            if cfg.icld == 1 and not blocked:
                 cldf_g = jnp.broadcast_to(
                     clouds.cldfrac[..., None], (B, L, len(gsel)))
                 out = run_rt(cldf_g, odcld_g, True, 1.0e-6)
-            else:
+            elif cfg.icld != 1 and blocked:
+                # Pallas rtrnmr: per-band cloud od + the 16 per-layer
+                # overlap-factor rows stream into the sweep kernel
+                from ..ops import rtrn_pallas as rtp
+                taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                play, plev = (planck_args if planck_b
+                              else (sc.planklay, sc.planklev))
+                out = rtp.rt_maxrandom_pallas(
+                    taut, fracs, play, plev, sc.plankbnd,
+                    sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+                    clouds.cldfrac.astype(dtype), taucb_t,
+                    taua=prof.taua, static=self.static_np,
+                    idrv=cfg.idrv, heatfac_val=self.heatfac,
+                    istart=cfg.istart, iend=cfg.iend,
+                    planck_blocked=planck_b)
+            elif cfg.icld != 1:
                 out = rtmr.rt_maxrandom(
                     taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
                     sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,

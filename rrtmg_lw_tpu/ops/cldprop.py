@@ -243,3 +243,56 @@ def cldprop(clouds: BandClouds, tables: dict, *, inflag: int,
                 + clouds.clwp[..., None] * abscoliq)
     taucloud = jnp.where(active[..., None], taucloud, 0.0)
     return taucloud, ok
+
+
+def cldprop_banded_blocked(clouds: BandClouds, tables: dict, *,
+                           inflag: int, iceflag: int, liqflag: int):
+    """cldprop emitting the per-band cloud od directly in the blocked
+    (L, 16, B) layout (for the RT kernel's in-kernel band->g
+    expansion), plus bounds_ok (B, L).  Numerically identical to
+    ``cldprop`` + transpose; the particle-size interpolation uses the
+    Pallas one-hot kernel on TPU (cldcoef_pallas) when applicable."""
+    import jax
+
+    dtype = clouds.cldfrac.dtype
+    B, L = clouds.cldfrac.shape
+    cwp = clouds.ciwp + clouds.clwp
+    tauctot = clouds.tauc.sum(axis=-1)
+    active = (clouds.cldfrac >= CLDMIN) & (
+        (cwp >= CLDMIN) | (tauctot >= CLDMIN))
+    act_t = active.T[:, None, :]                     # (L, 1, B)
+
+    if inflag == 0:
+        tau_t = jnp.where(act_t, jnp.transpose(clouds.tauc, (1, 2, 0)),
+                          0.0)
+        return tau_t, jnp.ones((B, L), bool)
+    if inflag == 1:
+        abscld1 = float(tables["abscld1"])
+        grey = jnp.broadcast_to((abscld1 * cwp).T[:, None, :],
+                                (L, 16, B))
+        return jnp.where(act_t, grey, 0.0), jnp.ones((B, L), bool)
+
+    use_pallas = (jax.default_backend() == "tpu"
+                  and dtype == jnp.float32
+                  and iceflag in (2, 3) and liqflag == 1
+                  and B % 128 == 0)
+    if use_pallas:
+        from .cldcoef_pallas import ice_liq_coeffs_blocked
+        tile = max(t for t in (512, 256, 128) if B % t == 0)
+        abi_t, abl_t = ice_liq_coeffs_blocked(
+            clouds.reic, clouds.relq, iceflag, liqflag, tables,
+            tile=tile)
+        rmax = 131.0 if iceflag == 2 else 140.0
+        ok = ((clouds.reic >= 5.0) & (clouds.reic <= rmax)
+              & (clouds.relq >= 2.5) & (clouds.relq <= 60.0))
+    else:
+        abi_b, abl_b, ok = _ice_liq_coeffs(
+            clouds.reic, clouds.relq, iceflag, liqflag, tables, dtype)
+        abi_t = jnp.transpose(abi_b, (1, 2, 0))
+        abl_t = jnp.transpose(abl_b, (1, 2, 0))
+    ciwp_t = clouds.ciwp.T[:, None, :]
+    clwp_t = clouds.clwp.T[:, None, :]
+    abi_t = jnp.where(ciwp_t == 0.0, 0.0, abi_t)
+    abl_t = jnp.where(clwp_t == 0.0, 0.0, abl_t)
+    tau_t = jnp.where(act_t, ciwp_t * abi_t + clwp_t * abl_t, 0.0)
+    return tau_t, ok

@@ -22,8 +22,12 @@ that stays resident per column tile.
 Matches rtrn.py (rtrnmc.f90/rtrn.f90 semantics) in the use_lut=False
 f32 configuration: 3-regime optical-depth factors with direct exp,
 water-vapor diffusivity secant, clear-sky twin stream gated by the
-cloud-in-path flag, idrv d/dT recursion.  The f64/LUT golden path stays
-on the XLA implementation.
+cloud-in-path flag, idrv d/dT recursion.  The ``maxrand`` mode runs
+the rtrnmr (maximum-random overlap, rrtmg_lw_rtrnmr.f90) cloudy/clear
+sub-stream recursion instead, with the per-column overlap-factor
+pre-passes computed in XLA and shipped as 16 per-layer rows (see
+rt_maxrandom_pallas).  The f64/LUT golden path stays on the XLA
+implementations.
 
 Autodiff: custom_vjp — forward runs this kernel, backward differentiates
 the XLA implementation (identical math at f32).
@@ -69,7 +73,7 @@ def _gas_factors(od):
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                   gate_thresh, ngb0_key, delwave_key, resident,
-                  fused_clouds, compact, interpret):
+                  fused_clouds, compact, banded, maxrand, interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples.
 
     With ``resident`` the level-streamed inputs ship as whole-(Lp)
@@ -87,6 +91,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
     delwave = np.asarray(delwave_key, np.float64)
     nc = Lp // Lc
     NOUT = 6 if idrv else 4
+    NRAD = 9 if maxrand else 6       # +cldrad/clrrad/rad sub-streams
 
     # band-expansion one-hot (cols 0:16) + g flux weights (col 16),
     # shipped as a kernel input (Pallas kernels cannot capture consts)
@@ -111,7 +116,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         if with_taua:
             taua_r = refs[k]; k += 1
         if cloudy:
-            if compact:
+            if banded or maxrand:
+                cl8_r, taucb_r = refs[k:k + 2]
+                k += 2
+            elif compact:
                 cldf_r, cw_r, abi_r, abl_r = refs[k:k + 4]
                 k += 4
             elif fused_clouds:
@@ -179,6 +187,9 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             radclru0 = rad0 + reflect * rad_s[1]
             rad_s[2] = radlu0
             rad_s[3] = radclru0
+            if maxrand:
+                zz = jnp.zeros((3,) + radlu0.shape, jnp.float32)
+                rad_s[6:9] = zz
             out_r[0, 0, :] = jnp.sum(wg * radlu0, axis=0)
             out_r[2, 0, :] = jnp.sum(wg * radclru0, axis=0)
             if idrv:
@@ -197,6 +208,25 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             od = jnp.maximum(secd_g * t, 0.0)
             atrans, tf = _gas_factors(od)
             if cloudy:
+                if banded or maxrand:
+                    # deterministic per-band clouds (cldprop,
+                    # rrtmg_lw_cldprop.f90): per-layer cloud fraction
+                    # broadcast over g, per-band od expanded in-kernel
+                    cl8 = rd(cl8_r, k)                # (8|16, BT)
+                    cldf = jnp.broadcast_to(cl8[0:1], (G_pad, BT))
+                    gate = cldf >= gate_thresh
+                    od_raw = edot(rd(taucb_r, k))
+                    odcld = jnp.where(gate, secd_g * od_raw, 0.0)
+                    if maxrand:
+                        efc = None     # rtrnmr uses sub-streams, not
+                                       # the effective cloud fraction
+                    else:
+                        abscld = 1.0 - jnp.exp(-odcld)
+                        efc = jnp.where(gate, abscld * cldf, 0.0)
+                    atot, tftot = _gas_factors(od + odcld)
+                    cly = cl8[0:1] >= gate_thresh     # (1, BT)
+                    return (f, blay, atrans, tf, cldf, efc, atot,
+                            tftot, cly)
                 cldf = rd(cldf_r, k)
                 gate = cldf >= gate_thresh
                 if compact:
@@ -265,14 +295,67 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     if cloudy:
                         atot_s[pl.ds(row, 1)] = c[6][None]
                         tftot_s[pl.ds(row, 1)] = c[7][None]
-                        efc_s[pl.ds(row, 1)] = c[5][None]
-                        cly_s[pl.ds(row, 1)] = c[8].astype(jnp.float32)
+                        if not maxrand:
+                            # rtrnmr reads its per-layer flags/factors
+                            # from the cl16 rows instead
+                            efc_s[pl.ds(row, 1)] = c[5][None]
+                            cly_s[pl.ds(row, 1)] = \
+                                c[8].astype(jnp.float32)
                 else:
                     dpl = edot(rd(plo_r, k)) - blay
                 bbd = f * (blay + tf * dpl)
                 gassrc = atrans * bbd
                 radld = rad_s[0]
-                if cloudy:
+                if maxrand:
+                    # rtrnmr down recursion (rrtmg_lw_rtrnmr.f90:
+                    # 591-615): cloudy/clear sub-streams exchanging a
+                    # correction radiance, restarted at each cloud
+                    # block boundary (istcldd); overlap factors come
+                    # from the XLA per-column pre-pass rows
+                    cldf, _efc, atot, tftot, cly = c[4:]
+                    cl16 = rd(cl8_r, k)
+                    cf = cl16[0:1]
+                    ist = cl16[2:3] > 0.0
+                    icl = cl16[3:4] > 0.0
+                    fclr1, fclr2, fcld1 = (cl16[4:5], cl16[5:6],
+                                           cl16[6:7])
+                    fcld2, fcmb1, fcmb2 = (cl16[7:8], cl16[8:9],
+                                           cl16[9:10])
+                    bbdtot = f * (blay + tftot * dpl)
+                    cldradd = jnp.where(ist, cf * radld, rad_s[6])
+                    clrradd = jnp.where(ist, radld - cf * radld,
+                                        rad_s[7])
+                    rad0 = jnp.where(ist, 0.0, rad_s[8])
+                    ttot = 1.0 - atot
+                    cldsrc = bbdtot * atot
+                    cldradd1 = cldradd * ttot + cf * cldsrc
+                    clrradd1 = (clrradd * (1.0 - atrans)
+                                + (1.0 - cf) * gassrc)
+                    radmod = (rad0 * (fclr1 * (1.0 - atrans)
+                                      + fcld1 * ttot)
+                              - fcmb1 * gassrc + fcmb2 * cldsrc)
+                    rad_n = (-radmod + fclr2 * (clrradd1 + radmod)
+                             - fcld2 * (cldradd1 - radmod))
+                    rad_clr = radld + (bbd - radld) * atrans
+                    radld_n = jnp.where(cly, cldradd1 + clrradd1,
+                                        rad_clr)
+                    rad_s[6] = jnp.where(cly, cldradd1 + rad_n,
+                                         rad_s[6])
+                    rad_s[7] = jnp.where(cly, clrradd1 - rad_n,
+                                         rad_s[7])
+                    rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
+                    radclrd = rad_s[1]
+                    radclrd_n = jnp.where(icl,
+                                          radclrd + (bbd - radclrd)
+                                          * atrans,
+                                          radld_n)
+                    if k == 0:
+                        # bottom layer: its iclddn is the whole-column
+                        # any-cloud flag the up sweep needs
+                        @pl.when(chunk == 0)
+                        def _anyc():
+                            flag_s[1:2, :] = cl16[3:4]
+                elif cloudy:
                     cldf, efc, atot, tftot, cly = c[4:]
                     bbdtot = f * (blay + tftot * dpl)
                     rad_cld = (radld - radld * (atrans
@@ -302,7 +385,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
 
         @pl.when(jnp.logical_not(down))
         def _up():
-            anyc = flag_s[0:1, :] > 0.0
+            anyc = (flag_s[1:2, :] if maxrand
+                    else flag_s[0:1, :]) > 0.0
             for k in range(Lc):
                 if resident:
                     # replay the down sweep's per-level factors from
@@ -314,22 +398,68 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     blay = blay_s[pl.ds(row, 1)][0]
                     dpu = pg_s[pl.ds(row + 1, 1)][0] - blay
                     if cloudy:
-                        cldf = rd(cldf_r, k)
+                        if banded or maxrand:
+                            cl16 = rd(cl8_r, k)
+                            cldf = jnp.broadcast_to(
+                                cl16[0:1], (G_pad, BT))
+                        else:
+                            cldf = rd(cldf_r, k)
                         atot = atot_s[pl.ds(row, 1)][0]
                         tftot = tftot_s[pl.ds(row, 1)][0]
-                        efc = efc_s[pl.ds(row, 1)][0]
-                        cly = cly_s[pl.ds(row, 1)] > 0.0
+                        if maxrand:
+                            efc = None
+                            cly = cl16[0:1] >= gate_thresh
+                        else:
+                            efc = efc_s[pl.ds(row, 1)][0]
+                            cly = cly_s[pl.ds(row, 1)] > 0.0
                 else:
                     c = common(k)
                     f, blay, atrans, tf = c[:4]
                     if cloudy:
                         cldf, efc, atot, tftot, cly = c[4:]
+                        if banded or maxrand:
+                            cl16 = rd(cl8_r, k)
                     dpu = edot(rd(phi_r, k)) - blay
                 bbu = f * (blay + tf * dpu)
                 gassrc = bbu * atrans
                 radlu = rad_s[2]
                 radclru = rad_s[3]
-                if cloudy:
+                if maxrand:
+                    # rtrnmr up recursion (rrtmg_lw_rtrnmr.f90:678-703)
+                    cf = cl16[0:1]
+                    ist = cl16[1:2] > 0.0
+                    fclr1, fclr2, fcld1 = (cl16[10:11], cl16[11:12],
+                                           cl16[12:13])
+                    fcld2, fcmb1, fcmb2 = (cl16[13:14], cl16[14:15],
+                                           cl16[15:16])
+                    bbut = f * (blay + tftot * dpu)
+                    cldradu = jnp.where(ist, cf * radlu, rad_s[6])
+                    clrradu = jnp.where(ist, radlu - cf * radlu,
+                                        rad_s[7])
+                    rad0 = jnp.where(ist, 0.0, rad_s[8])
+                    ttot = 1.0 - atot
+                    cldsrc = bbut * atot
+                    cldradu1 = cldradu * ttot + cf * cldsrc
+                    clrradu1 = (clrradu * (1.0 - atrans)
+                                + (1.0 - cf) * gassrc)
+                    radmod = (rad0 * (fclr1 * (1.0 - atrans)
+                                      + fcld1 * ttot)
+                              - fcmb1 * gassrc + fcmb2 * cldsrc)
+                    rad_n = (-radmod + fclr2 * (clrradu1 + radmod)
+                             - fcld2 * (cldradu1 - radmod))
+                    rad_clr = radlu + (bbu - radlu) * atrans
+                    radlu_n = jnp.where(cly, cldradu1 + clrradu1,
+                                        rad_clr)
+                    rad_s[6] = jnp.where(cly, cldradu1 + rad_n,
+                                         rad_s[6])
+                    rad_s[7] = jnp.where(cly, clrradu1 - rad_n,
+                                         rad_s[7])
+                    rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
+                    radclru_n = jnp.where(anyc,
+                                          radclru + (bbu - radclru)
+                                          * atrans,
+                                          radlu_n)
+                elif cloudy:
                     bbut = f * (blay + tftot * dpu)
                     rad_cld = (radlu - radlu * (atrans
                                                 + efc * (1.0 - atrans))
@@ -397,13 +527,17 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
     if with_taua:
         in_specs += [bxb]
     if cloudy:
-        if compact:
+        if banded or compact or maxrand:
+            nrow = 16 if maxrand else 8
             if resident:
-                cwspec = pl.BlockSpec((Lp, 8, BT), whole,
+                cwspec = pl.BlockSpec((Lp, nrow, BT), whole,
                                       memory_space=pltpu.VMEM)
             else:
-                cwspec = pl.BlockSpec((Lc, 8, BT), chunk_map,
+                cwspec = pl.BlockSpec((Lc, nrow, BT), chunk_map,
                                       memory_space=pltpu.VMEM)
+        if banded or maxrand:
+            in_specs += [cwspec, bxb]
+        elif compact:
             in_specs += [gxb, cwspec, bxb, bxb]
         elif fused_clouds:
             in_specs += [gxb, gxb, gxb, gxb, bxb, bxb]
@@ -411,7 +545,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             in_specs += [gxb, gxb]
 
     scratch_shapes = [
-        pltpu.VMEM((6, G_pad, BT), jnp.float32),
+        pltpu.VMEM((NRAD, G_pad, BT), jnp.float32),
         pltpu.VMEM((8, BT), jnp.float32),
     ]
     if resident:
@@ -519,16 +653,20 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     with_taua = taua is not None
     fused0 = cloud_fields is not None
     compact = fused0 and len(cloud_fields) == 4
+    two = fused0 and len(cloud_fields) == 2
+    banded = two and cloud_fields[0].shape[1] == 8
+    maxrand = two and cloud_fields[0].shape[1] == 16
 
     # whole-(Lp) VMEM residency: each input is DMA'd once per column
     # tile instead of once per sweep, and the down sweep caches the
     # per-level gas/cloud factors in VMEM scratch for the up sweep.
     # Budget: 2x (pipeline double buffer) x per-tile input bytes +
     # the level-cache scratch, kept under the 112 MB VMEM limit.
-    n_gres = 2 + ((1 if compact else (4 if fused0 else 2))
-                  if cloudy else 0)
+    n_gres = 2 + ((0 if (banded or maxrand) else 1 if compact
+                   else (4 if fused0 else 2)) if cloudy else 0)
     n_bres = 3 + (1 if with_taua else 0) + \
-        ((3 if compact else 2) if fused0 else 0)
+        ((2 if (banded or maxrand) else 3 if compact else 2)
+         if fused0 else 0)
     per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
     cache_rows = 4 * Lp + 1 + (3 * Lp if cloudy else 0)
     cache_bytes = cache_rows * G_pad * tile * 4
@@ -566,7 +704,18 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
         arrays.append(_prep(taua, Lp, G_pad, Bp, "lbb"))
     fused = cloud_fields is not None
     if cloudy:
-        if compact:
+        if banded or maxrand:
+            # deterministic per-band clouds: per-layer rows
+            # ([cldfrac] banded; [cldfrac, istcld, istcldd, iclddn,
+            # 6x down + 6x up overlap factors] maxrand) + per-band
+            # cloud od (Lp, 16, Bp)
+            cl8_t, taucb_t = cloud_fields
+            nrow = 16 if maxrand else 8
+            if cl8_t.shape != (Lp, nrow, Bp):
+                raise ValueError("banded/maxrand cloud rows must be "
+                                 f"(Lp, {nrow}, Bp)")
+            arrays += [cl8_t, taucb_t]
+        elif compact:
             # generator-form clouds: binary mask (Lp, G_pad, Bp) +
             # per-layer water paths packed as (Lp, 8, Bp) rows
             # [ciwp, clwp, 0...] + per-band ice/liq coeffs
@@ -596,7 +745,7 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                         tuple(int(v) for v in ngb0),
                         tuple(float(v) for v in delwave),
                         bool(resident), bool(fused), bool(compact),
-                        bool(interpret))
+                        bool(banded), bool(maxrand), bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)
     return tuple(out[i] for i in range(out.shape[0]))
@@ -650,7 +799,15 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
                    taua, cloud_fields):
         B = pwvcm.shape[0]
-        if fused and len(cloud_fields) == 4:
+        if fused and len(cloud_fields) == 2:
+            # banded: broadcast cldfrac over g, expand per-band od
+            cl8_t, taucb_t = cloud_fields
+            cldf_g = jnp.broadcast_to(
+                jnp.transpose(cl8_t[:, 0, :B], (1, 0))[:, :, None],
+                (B, cl8_t.shape[0], len(ngb0)))
+            odcld_g = jnp.transpose(taucb_t[:, :, :B],
+                                    (2, 0, 1))[..., ngb0]
+        elif fused and len(cloud_fields) == 4:
             # compact: materialize the per-g products first
             cldf_t, cw_t, abi_t, abl_t = cloud_fields
             ciwp_t = cw_t[:, 0:1, :] * cldf_t
@@ -658,7 +815,7 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
             tauc_t = jnp.zeros_like(cldf_t)
             cloud_fields = (cldf_t, ciwp_t, clwp_t, tauc_t,
                             abi_t, abl_t)
-        if fused:
+        if fused and len(cloud_fields) == 6:
             # reconstruct (B, L, G) cldf/odcld with the cldprmc math
             # (identical f32 ops to the in-kernel fused path)
             cldf_t, ciwp_t, clwp_t, tauc_t, abi_t, abl_t = cloud_fields
@@ -727,5 +884,119 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
     if idrv:
         return rt_xla.RTOut(totuflux, totdflux, htr, totuclfl, totdclfl,
                             htrc, res[4], res[5])
+    return rt_xla.RTOut(totuflux, totdflux, htr, totuclfl, totdclfl,
+                        htrc)
+
+
+def maxrand_supported(L, G, tile=128, idrv=0):
+    """True when the Pallas rtrnmr path's VMEM budget holds (mirrors
+    rt_fluxes_pallas's residency estimate; the max-random recursion
+    requires the resident level-cache layout)."""
+    Lc = min(12, L)
+    Lc = next(d for d in range(Lc, 0, -1) if L % d == 0)
+    Lp = L
+    G_pad = _pad_to(G, 8)
+    n_gres, n_bres = 2, 3 + 1 + 2
+    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
+    cache_rows = 4 * Lp + 1 + 3 * Lp
+    return 2 * per_tile + cache_rows * G_pad * tile * 4 \
+        < 96 * 1024 * 1024
+
+
+def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
+                        dplankbnd_dt, semiss, pwvcm, pz, cldfrac,
+                        taucb_t, taua=None, *, static, idrv,
+                        heatfac_val, istart=1, iend=16,
+                        planck_blocked=False, tile=128,
+                        interpret=False):
+    """Pallas maximum-random overlap RT (rtrnmr.f90) for the blocked
+    layout: taut/fracs (L, G_pad, B) from the taumol kernel, per-band
+    cloud od taucb_t (L, 16, B) from cldprop_banded_blocked, cldfrac
+    (B, L).  The per-column overlap-factor pre-passes
+    (rtrnmr.f90:347-506) run in XLA (they are (B, L)-sized scans) and
+    ship to the kernel as 16 per-layer rows; the cloudy/clear
+    sub-stream radiance recursion runs in the fused sweep kernel.
+
+    Reverse mode differentiates the XLA rt_maxrandom (identical math
+    at f32)."""
+    from . import rtrnmr as rtmr
+
+    ngb_full = np.asarray(static["ngb"]) - 1
+    gsel = np.nonzero((ngb_full >= istart - 1)
+                      & (ngb_full <= iend - 1))[0]
+    ngb0 = ngb_full[gsel]
+    delwave = np.asarray(static["delwave"])
+    B, L = cldfrac.shape
+    dtype = taut.dtype
+
+    def rows16(cldfrac):
+        cloudy_lay = cldfrac >= 1.0e-6
+        up_facs, istcld = rtmr._overlap_factors_up(cldfrac, cloudy_lay)
+        dn_facs, istcldd = rtmr._overlap_factors_down(cldfrac,
+                                                      cloudy_lay)
+        iclddn = jnp.flip(jnp.cumsum(jnp.flip(
+            cloudy_lay.astype(jnp.int32), axis=1), axis=1), axis=1) > 0
+        rows = ([cldfrac, istcld.astype(dtype), istcldd.astype(dtype),
+                 iclddn.astype(dtype)]
+                + [f.astype(dtype) for f in dn_facs]
+                + [f.astype(dtype) for f in up_facs])
+        return jnp.stack([r.T for r in rows], axis=1)   # (L, 16, B)
+
+    flux_kw = dict(gate_thresh=1.0e-6, ngb0=ngb0, delwave=delwave,
+                   cloudy=True, idrv=idrv, native="blocked",
+                   clouds_blocked=False, planck_blocked=planck_blocked,
+                   tile=tile, interpret=interpret)
+
+    @jax.custom_vjp
+    def fluxes(taut, fracs, planklay, planklev, plankbnd,
+               dplankbnd_dt, semiss, pwvcm, pz, cldfrac, taucb_t,
+               taua):
+        return rt_fluxes_pallas(
+            taut, fracs, planklay, planklev, plankbnd, dplankbnd_dt,
+            semiss, pwvcm, None, None, taua,
+            cloud_fields=(rows16(cldfrac), taucb_t), **flux_kw)
+
+    def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
+                   dplankbnd_dt, semiss, pwvcm, pz, cldfrac, taucb_t,
+                   taua):
+        taut_b = jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1))
+        fracs_b = jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1))
+        if planck_blocked:
+            planklay = jnp.transpose(planklay[:, :, :B], (2, 0, 1))
+            planklev = jnp.transpose(planklev[:, :, :B], (2, 0, 1))
+        if taua is not None:
+            taut_b = taut_b + taua[..., ngb0]
+        odcld_g = jnp.transpose(taucb_t[:, :, :B], (2, 0, 1))[..., ngb0]
+        out = rtmr.rt_maxrandom(
+            taut_b, fracs_b, planklay, planklev, plankbnd,
+            dplankbnd_dt, semiss, pwvcm, pz, cldfrac, odcld_g,
+            static=static, luts=None, use_lut=False, idrv=idrv,
+            heatfac_val=heatfac_val, istart=istart, iend=iend)
+        res = (out.totuflux, out.totdflux, out.totuclfl, out.totdclfl)
+        if idrv:
+            res = res + (out.dtotuflux_dt, out.dtotuclfl_dt)
+        return res
+
+    def fwd(*args):
+        return fluxes(*args), args
+
+    def bwd(args, ct):
+        _, vjp = jax.vjp(fluxes_xla, *args)
+        return vjp(ct)
+
+    fluxes.defvjp(fwd, bwd)
+
+    res = fluxes(taut, fracs, planklay, planklev, plankbnd,
+                 dplankbnd_dt, semiss, pwvcm, pz, cldfrac, taucb_t,
+                 taua)
+    totuflux, totdflux, totuclfl, totdclfl = res[:4]
+    fnet = totuflux - totdflux
+    fnetc = totuclfl - totdclfl
+    dp = pz[:, :-1] - pz[:, 1:]
+    htr = heatfac_val * (fnet[:, :-1] - fnet[:, 1:]) / dp
+    htrc = heatfac_val * (fnetc[:, :-1] - fnetc[:, 1:]) / dp
+    if idrv:
+        return rt_xla.RTOut(totuflux, totdflux, htr, totuclfl,
+                            totdclfl, htrc, res[4], res[5])
     return rt_xla.RTOut(totuflux, totdflux, htr, totuclfl, totdclfl,
                         htrc)

@@ -265,3 +265,105 @@ def test_compact_clouds_model_grad(stack):
         np.asarray(bl.ciwpmc[:, :140, :]),
         np.asarray(jnp.transpose(cl_c.ciwp, (1, 0))[:, None, :]
                    * cl_c.cldfmc[:, :140, :]))
+
+
+def test_banded_clouds_parity(stack):
+    """Deterministic per-band clouds (icld=1): the in-kernel band->g
+    expansion must match the pre-expanded (B, L, G) path (edot split
+    precision ~2^-24)."""
+    from rrtmg_lw_tpu.ops import cldprop as cld_ops
+    from rrtmg_lw_tpu.types import BandClouds
+    model, prof, sc, taut, fracs, _, _ = stack
+    B, L = prof.pavel.shape
+    rng = np.random.default_rng(5)
+    bc = BandClouds(
+        cldfrac=jnp.asarray(np.clip(rng.random((B, L)) - 0.3, 0, 0.9),
+                            jnp.float32),
+        tauc=jnp.zeros((B, L, 16), jnp.float32),
+        ciwp=jnp.full((B, L), 5.0, jnp.float32),
+        clwp=jnp.full((B, L), 20.0, jnp.float32),
+        reic=jnp.full((B, L), 30.0, jnp.float32),
+        relq=jnp.full((B, L), 10.0, jnp.float32))
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+
+    taucloud, _ = cld_ops.cldprop(bc, model.static_np, inflag=2,
+                                  iceflag=3, liqflag=1)
+    odcld_g = taucloud[..., model.ngb0]
+    cldf_g = jnp.broadcast_to(bc.cldfrac[..., None], odcld_g.shape)
+    ref = rtp.rt_random_overlap_pallas(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf_g,
+        odcld_g, cloudy=True, gate_thresh=1.0e-6, interpret=True, **kw)
+
+    def to_blocked(x):
+        return jnp.pad(jnp.transpose(x, (1, 2, 0)),
+                       ((0, 0), (0, 4), (0, 0)))
+    taucb_t, _ = cld_ops.cldprop_banded_blocked(
+        bc, model.static_np, inflag=2, iceflag=3, liqflag=1)
+    cl8_t = jnp.pad(bc.cldfrac.T[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    out = rtp.rt_random_overlap_pallas(
+        to_blocked(taut), to_blocked(fracs), sc.planklay, sc.planklev,
+        sc.plankbnd, sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+        None, None, taua=jnp.zeros_like(prof.taua), cloudy=True,
+        gate_thresh=1.0e-6, native="blocked",
+        cloud_fields=(cl8_t, taucb_t), interpret=True, tile=8, **kw)
+    for name in ("totuflux", "totdflux", "totuclfl", "totdclfl"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("idrv", [0, 1])
+def test_maxrand_pallas_parity(stack, idrv):
+    """Pallas rtrnmr (max-random overlap sub-stream recursion) vs the
+    XLA scan implementation."""
+    from rrtmg_lw_tpu.ops import cldprop as cld_ops
+    from rrtmg_lw_tpu.ops import rtrnmr as rtmr
+    from rrtmg_lw_tpu.types import BandClouds
+    model, prof, sc, taut, fracs, _, _ = stack
+    B, L = prof.pavel.shape
+    rng = np.random.default_rng(9)
+    # block-structured cloud fraction exercising istcld transitions
+    cf = np.zeros((B, L), np.float32)
+    for b in range(B):
+        for s in range(3):
+            lo = rng.integers(0, L - 6)
+            cf[b, lo:lo + rng.integers(2, 6)] = rng.random() * 0.9
+    bc = BandClouds(
+        cldfrac=jnp.asarray(cf),
+        tauc=jnp.zeros((B, L, 16), jnp.float32),
+        ciwp=jnp.full((B, L), 5.0, jnp.float32),
+        clwp=jnp.full((B, L), 20.0, jnp.float32),
+        reic=jnp.full((B, L), 30.0, jnp.float32),
+        relq=jnp.full((B, L), 10.0, jnp.float32))
+    kw = dict(static=model.static_np, idrv=idrv,
+              heatfac_val=model.heatfac)
+
+    taucloud, _ = cld_ops.cldprop(bc, model.static_np, inflag=2,
+                                  iceflag=3, liqflag=1)
+    odcld_g = taucloud[..., model.ngb0]
+    ref = rtmr.rt_maxrandom(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, bc.cldfrac,
+        odcld_g, luts=None, use_lut=False, istart=1, iend=16, **kw)
+
+    def to_blocked(x):
+        return jnp.pad(jnp.transpose(x, (1, 2, 0)),
+                       ((0, 0), (0, 4), (0, 0)))
+    taucb_t, _ = cld_ops.cldprop_banded_blocked(
+        bc, model.static_np, inflag=2, iceflag=3, liqflag=1)
+    out = rtp.rt_maxrandom_pallas(
+        to_blocked(taut), to_blocked(fracs), sc.planklay, sc.planklev,
+        sc.plankbnd, sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+        bc.cldfrac, taucb_t, taua=jnp.zeros_like(prof.taua),
+        interpret=True, tile=8, **kw)
+    names = ["totuflux", "totdflux", "totuclfl", "totdclfl"]
+    if idrv:
+        names += ["dtotuflux_dt", "dtotuclfl_dt"]
+    for name in names:
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, atol=3e-6 * scale,
+                                   err_msg=name)
