@@ -249,11 +249,19 @@ def load_netcdf_original_tables(path) -> dict:
     reads ``var[gpset-1, band-1, :G, :plower, :Tdiff, :keylower]``.
     gPointSetNumber = 1 throughout.
     """
-    from scipy.io import netcdf_file
-    f = netcdf_file(str(path), "r", mmap=False)
-    v = {k: np.asarray(val[:], dtype=np.float64).copy()
-         for k, val in f.variables.items()}
-    f.close()
+    try:
+        # NetCDF3 classic (the format the reference's makefiles use)
+        from scipy.io import netcdf_file
+        f = netcdf_file(str(path), "r", mmap=False)
+        v = {k: np.asarray(val[:], dtype=np.float64).copy()
+             for k, val in f.variables.items()}
+        f.close()
+    except Exception:
+        # NetCDF4/HDF5 container fallback
+        import h5py
+        with h5py.File(str(path), "r") as f:
+            v = {k: np.asarray(f[k][...], dtype=np.float64)
+                 for k in f.keys()}
 
     def key_lower(b, nkey):
         # -> [js, jt, jp, g]
