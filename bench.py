@@ -63,8 +63,9 @@ def main():
     # per-g products are re-formed inside the RT kernel (bitwise
     # identical to the blocked layout at 1/4 the HBM traffic)
     layout = "compact" if platform == "tpu" else "batch"
-    clouds = make_mcica_clouds(ncol=ncol, nlay=nlay, dtype=dtype,
-                               layout=layout)
+    clouds = make_mcica_clouds(
+        ncol=ncol, nlay=nlay, dtype=dtype, layout=layout,
+        mask_dtype=np.int8 if layout == "compact" else None)
 
     # clear-sky step
     clr_model = make_model(LWConfig(icld=0, dtype="float32",

@@ -203,8 +203,8 @@ def _native_cdf_blocked(key, icld: int, cldf_t, alpha_t):
 
 
 def mcica_subcol_lw_compact(key, icld: int, cldfrac, ciwp, clwp, rei,
-                            rel, alpha=None, g_pad=144
-                            ) -> McicaCloudsCompact:
+                            rel, alpha=None, g_pad=144,
+                            mask_dtype=None) -> McicaCloudsCompact:
     """Generator emitting the compact (binary mask + per-layer water
     path) form with the mask already in the Pallas pipeline's padded
     (L, G_pad, B) layout: a full generate+radiate step then runs with
@@ -223,7 +223,8 @@ def mcica_subcol_lw_compact(key, icld: int, cldfrac, ciwp, clwp, rei,
                else jnp.asarray(alpha).T)
     cdf = _native_cdf_blocked(key, icld, cldf_t, alpha_t)
     iscloudy = cdf >= (1.0 - cldf_t)[:, None, :]
-    mask = jnp.pad(jnp.where(iscloudy, 1.0, 0.0).astype(dtype),
+    mdt = dtype if mask_dtype is None else mask_dtype
+    mask = jnp.pad(jnp.where(iscloudy, 1, 0).astype(mdt),
                    ((0, 0), (0, g_pad - NGPT), (0, 0)))
     return McicaCloudsCompact(
         cldfmc=mask, ciwp=jnp.asarray(ciwp), clwp=jnp.asarray(clwp),

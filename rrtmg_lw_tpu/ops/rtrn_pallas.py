@@ -228,6 +228,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     return (f, blay, atrans, tf, cldf, efc, atot,
                             tftot, cly)
                 cldf = rd(cldf_r, k)
+                if cldf.dtype != jnp.float32:
+                    # int8 binary sub-column mask (1/4 the HBM traffic;
+                    # the 0/1 values are exact in both dtypes)
+                    cldf = cldf.astype(jnp.float32)
                 gate = cldf >= gate_thresh
                 if compact:
                     # generator-form clouds: re-form the per-g water
@@ -662,7 +666,10 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     # per-level gas/cloud factors in VMEM scratch for the up sweep.
     # Budget: 2x (pipeline double buffer) x per-tile input bytes +
     # the level-cache scratch, kept under the 112 MB VMEM limit.
-    n_gres = 2 + ((0 if (banded or maxrand) else 1 if compact
+    mask_i8 = (compact and
+               jnp.dtype(cloud_fields[0].dtype).itemsize == 1)
+    n_gres = 2 + ((0 if (banded or maxrand)
+                   else (0.25 if mask_i8 else 1) if compact
                    else (4 if fused0 else 2)) if cloudy else 0)
     n_bres = 3 + (1 if with_taua else 0) + \
         ((2 if (banded or maxrand) else 3 if compact else 2)

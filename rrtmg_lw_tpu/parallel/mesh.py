@@ -63,6 +63,10 @@ def shardings_for(tree, mesh: Mesh):
         return McicaCloudsBlocked(last, last, last, last, bs, bs)
     if isinstance(tree, McicaCloudsCompact):
         return McicaCloudsCompact(last, bs, bs, bs, bs)
+    if isinstance(tree, (tuple, list)) and not hasattr(tree, "_fields"):
+        return type(tree)(shardings_for(t, mesh) for t in tree)
+    if isinstance(tree, dict):
+        return {k: shardings_for(t, mesh) for k, t in tree.items()}
     return jax.tree_util.tree_map(lambda x: bs, tree)
 
 

@@ -15,17 +15,23 @@ from typing import Callable, Iterable, Iterator, Optional
 
 import jax
 
-from .mesh import batch_sharding
+from .mesh import shardings_for
 
 
 def prefetch(batches: Iterable, mesh, depth: int = 2,
              sharding=None) -> Iterator:
     """Yield device-resident batches, keeping ``depth`` transfers in
-    flight ahead of the consumer."""
-    if sharding is None:
-        sharding = batch_sharding(mesh)
-    put = lambda tree: jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    flight ahead of the consumer.  Shardings are layout-aware per
+    sub-tree (blocked/compact cloud arrays carry columns on their
+    last axis — see mesh.shardings_for)."""
+    if sharding is not None:
+        put = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+    else:
+        def put(tree):
+            sh = shardings_for(tree, mesh)
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s), tree, sh)
     queue = collections.deque()
     it = iter(batches)
     try:

@@ -110,7 +110,7 @@ class McicaCloudsCompact(NamedTuple):
     McicaCloudsBlocked.  Valid for the inflag=2 parameterized-optics
     path (ice/liquid water paths; per-g taucmc is identically zero
     there — rrtmg_lw_cldprmc.f90:128-142)."""
-    cldfmc: jnp.ndarray        # (L, NGPT_PAD, B) 0/1 cloud mask
+    cldfmc: jnp.ndarray        # (L, NGPT_PAD, B) 0/1 mask (f32 or int8)
     ciwp: jnp.ndarray          # (B, L) in-cloud ice water path
     clwp: jnp.ndarray          # (B, L) in-cloud liquid water path
     reicmc: jnp.ndarray        # (B, L)
@@ -118,7 +118,7 @@ class McicaCloudsCompact(NamedTuple):
 
     def to_blocked(self) -> "McicaCloudsBlocked":
         """Materialize the per-g products (for non-fused paths)."""
-        m = self.cldfmc
+        m = self.cldfmc.astype(self.ciwp.dtype)
         ci = jnp.transpose(self.ciwp, (1, 0))[:, None, :] * m
         cl = jnp.transpose(self.clwp, (1, 0))[:, None, :] * m
         return McicaCloudsBlocked(m, ci, cl, jnp.zeros_like(m),

@@ -86,7 +86,7 @@ def make_band_clouds(ncol=4, nlay=51, seed=1, dtype=jnp.float64):
 
 
 def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
-                      ngpt=140, layout="batch"):
+                      ngpt=140, layout="batch", mask_dtype=None):
     """A plausible binary per-g-point McICA cloud state (for tests/bench
     that don't exercise the stochastic generator itself).
 
@@ -118,6 +118,12 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
         gp = -(-ngpt // 8) * 8
         mask = np.pad(np.transpose(cldf, (1, 2, 0)),
                       ((0, 0), (0, gp - ngpt), (0, 0)))
+        if mask_dtype is not None:
+            mask = mask.astype(mask_dtype)
+            return McicaCloudsCompact(
+                cldfmc=jnp.asarray(mask), ciwp=arr(ciwp.max(axis=2)),
+                clwp=arr(clwp.max(axis=2)), reicmc=arr(reic),
+                relqmc=arr(relq))
         ciwp_l = ciwp.max(axis=2)           # (ncol, nlay)
         clwp_l = clwp.max(axis=2)
         return McicaCloudsCompact(

@@ -367,3 +367,20 @@ def test_maxrand_pallas_parity(stack, idrv):
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(b, a, atol=3e-6 * scale,
                                    err_msg=name)
+
+
+def test_compact_int8_mask_parity(stack):
+    """int8 binary mask == f32 mask bit-for-bit through the model."""
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+    model, prof, sc, taut, fracs, _, _ = stack
+    B, L = prof.pavel.shape
+    cl_f = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                             layout="compact")
+    cl_i = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                             layout="compact", mask_dtype=np.int8)
+    np.testing.assert_array_equal(np.asarray(cl_f.cldfmc),
+                                  np.asarray(cl_i.cldfmc, np.float32))
+    bf = cl_f.to_blocked()
+    bi = cl_i.to_blocked()
+    np.testing.assert_array_equal(np.asarray(bf.ciwpmc),
+                                  np.asarray(bi.ciwpmc))
