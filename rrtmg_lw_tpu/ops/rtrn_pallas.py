@@ -55,10 +55,20 @@ def _pad_to(n, m):
     return -(-n // m) * m
 
 
-def _gas_factors(od):
+E006 = float(np.exp(-0.06))      # exp at the small-od clamp point
+
+
+def _gas_factors_e(od, e_raw):
+    '''Gas factors from a precomputed unclamped exp(-od).  In the
+    small-od branch (od <= 0.06) the exponential never contributes
+    (Taylor forms are used), and the tf denominator's clamped
+    exp(-max(od, 0.06)) is the constant exp(-0.06) there -- so any
+    finite e_raw works for small od, which lets the cloudy path form
+    exp(-(od+odcld)) as the product of two already-needed exps
+    instead of a third exp per level.'''
     small = od <= 0.06
     od_safe = jnp.maximum(od, 0.06)           # match rtrn._gas_factors
-    e_safe = jnp.exp(-od_safe)                # one exp serves both:
+    e_safe = jnp.where(small, E006, e_raw)
     om = 1.0 - e_safe
     atrans = jnp.where(small, od - 0.5 * od * od, om)
     # 1/od - e/(1-e) == (om - od*e)/(od*om): one VPU division instead
@@ -68,6 +78,10 @@ def _gas_factors(od):
                    1.0 - 2.0 * (om - od_safe * e_safe)
                    / (od_safe * om))
     return atrans, tf
+
+
+def _gas_factors(od):
+    return _gas_factors_e(od, jnp.exp(-od))
 
 
 @functools.lru_cache(maxsize=32)
@@ -206,7 +220,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             f = rd(fracs_r, k)
             blay = edot(rd(play_r, k))
             od = jnp.maximum(secd_g * t, 0.0)
-            atrans, tf = _gas_factors(od)
+            e_od = jnp.exp(-od)
+            atrans, tf = _gas_factors_e(od, e_od)
             if cloudy:
                 if banded or maxrand:
                     # deterministic per-band clouds (cldprop,
@@ -217,13 +232,15 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     gate = cldf >= gate_thresh
                     od_raw = edot(rd(taucb_r, k))
                     odcld = jnp.where(gate, secd_g * od_raw, 0.0)
+                    e_cld = jnp.exp(-odcld)
                     if maxrand:
                         efc = None     # rtrnmr uses sub-streams, not
                                        # the effective cloud fraction
                     else:
-                        abscld = 1.0 - jnp.exp(-odcld)
+                        abscld = 1.0 - e_cld
                         efc = jnp.where(gate, abscld * cldf, 0.0)
-                    atot, tftot = _gas_factors(od + odcld)
+                    atot, tftot = _gas_factors_e(od + odcld,
+                                                 e_od * e_cld)
                     cly = cl8[0:1] >= gate_thresh     # (1, BT)
                     return (f, blay, atrans, tf, cldf, efc, atot,
                             tftot, cly)
@@ -267,9 +284,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 else:
                     od_raw = rd(odcld_r, k)
                 odcld = jnp.where(gate, secd_g * od_raw, 0.0)
-                abscld = 1.0 - jnp.exp(-odcld)
+                e_cld = jnp.exp(-odcld)
+                abscld = 1.0 - e_cld
                 efc = jnp.where(gate, abscld * cldf, 0.0)
-                atot, tftot = _gas_factors(od + odcld)
+                atot, tftot = _gas_factors_e(od + odcld, e_od * e_cld)
                 cly = (jnp.max(gate.astype(jnp.float32), axis=0,
                                keepdims=True) > 0.0)   # (1, BT)
                 return f, blay, atrans, tf, cldf, efc, atot, tftot, cly
