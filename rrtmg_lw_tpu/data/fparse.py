@@ -102,16 +102,24 @@ class FortranArrays:
     def fill_from(self, text: str, names=None):
         """Scan (already-stripped) source text for assignments to known arrays."""
         wanted = set(names) if names is not None else set(self.decls)
-        # array assignments
+        # array assignments; the optional reshape((/.../), (/dims/))
+        # wrapper is transparent — Fortran reshape fills column-major,
+        # exactly how the indexed slice is filled below (the public
+        # rrtmg_lw_k_g.f90 uses this form for the multi-dim k tables)
         pat = re.compile(
-            r"(?<![\w%])(\w+)\s*\(([^()]*)\)\s*=\s*\(/(.*?)/\)",
+            r"(?<![\w%])(\w+)\s*(?:\(([^()]*)\))?\s*=\s*"
+            r"(?:reshape\s*\(\s*)?\(/(.*?)/\)",
             re.DOTALL,
         )
         for m in pat.finditer(text):
             name = m.group(1).lower()
             if name not in wanted or name not in self.decls:
                 continue
-            idx = self._parse_index(name, m.group(2))
+            if m.group(2) is None:       # whole-array assignment
+                idx = tuple(slice(0, hi - lo + 1)
+                            for lo, hi in self.decls[name])
+            else:
+                idx = self._parse_index(name, m.group(2))
             vals = np.array(
                 [_to_float(t) for t in _NUM_RE.findall(m.group(3))],
                 dtype=np.float64,

@@ -447,3 +447,50 @@ def build_real_asset_from_netcdf(nc_path):
     packed = pack_all(load_netcdf_original_tables(nc_path), red)
     save_ktables(packed, _ASSET_DIR / "ktables_real.npz")
     return packed
+
+
+def load_fortran_original_tables(path) -> dict:
+    """Read the ORIGINAL 256-g tables from the public
+    ``rrtmg_lw_k_g.f90`` (Fortran source form, KGSRC=dat).
+
+    Each ``lw_kgbNN`` subroutine fills its band's rrlw_kgNN module
+    arrays with array-constructor / reshape assignments
+    (declarations: modules/rrlw_kg01..16.f90 — e.g. kao(9,5,13,no3),
+    kbo(5,5,13:59,no3), selfrefo(10,noN), ka_mXX(9,19,noN)).  The text
+    is split into per-subroutine sections because the same variable
+    names (kao, kbo, ...) recur in every band's module.
+    """
+    import re as _re
+
+    from .fparse import FortranArrays, strip_fortran
+
+    text = strip_fortran(pathlib.Path(path).read_text())
+    parts = _re.split(r"subroutine\s+lw_kgb(\d+)", text,
+                      flags=_re.IGNORECASE)
+    out = {}
+    for i in range(1, len(parts) - 1, 2):
+        b = int(parts[i])
+        if not (1 <= b <= NBANDS) or b in out:
+            continue
+        body = parts[i + 1]
+        fa = FortranArrays()
+        shapes = original_shapes(b)
+        for name, shp in shapes.items():
+            bounds = [(1, n) for n in shp]
+            if name == "kbo":            # jp dim declared 13:59
+                bounds[-2] = (13, 59)
+            fa.declare(name, bounds)
+        fa.fill_from(body)
+        out[b] = {name: fa.get(name) for name in shapes}
+    missing = [b for b in range(1, NBANDS + 1) if b not in out]
+    if missing:
+        raise ValueError(f"k_g source missing bands {missing}")
+    return out
+
+
+def build_real_asset_from_k_g(f90_path):
+    """Convert the public rrtmg_lw_k_g.f90 to the engine asset."""
+    red = GReduction(load_static())
+    packed = pack_all(load_fortran_original_tables(f90_path), red)
+    save_ktables(packed, _ASSET_DIR / "ktables_real.npz")
+    return packed

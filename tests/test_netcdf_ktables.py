@@ -137,3 +137,45 @@ def test_hdf5_fallback_roundtrip(tmp_path_factory, orig):
         for name, arr in v.items():
             f.create_dataset(name, data=arr)
     _assert_roundtrip(orig, kt.load_netcdf_original_tables(path))
+
+
+def _fortran_vals(a, per_line=4):
+    toks = [f"{v:.17e}_rb".replace("e", "E") for v in
+            np.asarray(a).flatten(order="F")]
+    lines = []
+    for i in range(0, len(toks), per_line):
+        lines.append("     & " + ", ".join(toks[i:i + per_line]))
+    return " , &\n".join(lines)
+
+
+def test_fortran_k_g_roundtrip(tmp_path_factory, orig):
+    """Synthetic rrtmg_lw_k_g.f90 in the reference's assignment styles
+    (whole-array reshape + per-slice constructors) -> loader."""
+    chunks = []
+    for b in range(1, kt.NBANDS + 1):
+        chunks.append(f"      subroutine lw_kgb{b:02d}\n")
+        for j, (name, arr) in enumerate(sorted(orig[b].items())):
+            a = np.asarray(arr, np.float64)
+            if j % 2 == 0 and a.ndim > 1:
+                # whole-array reshape form
+                dims = ",".join(str(n) for n in a.shape)
+                chunks.append(
+                    f"      {name} = reshape((/ &\n"
+                    f"{_fortran_vals(a)} /), (/{dims}/))\n")
+            elif a.ndim > 1:
+                # per-last-index slice constructors (kbo jp dim is
+                # declared 13:59 but slicing the LAST axis avoids it)
+                colon = ",".join(":" for _ in range(a.ndim - 1))
+                for g in range(a.shape[-1]):
+                    chunks.append(
+                        f"      {name}({colon},{g + 1}) = (/ &\n"
+                        f"{_fortran_vals(a[..., g])} /)\n")
+            else:
+                chunks.append(
+                    f"      {name}(:) = (/ &\n{_fortran_vals(a)} /)\n")
+        chunks.append(f"      end subroutine lw_kgb{b:02d}\n\n")
+    path = tmp_path_factory.mktemp("kg") / "rrtmg_lw_k_g.f90"
+    path.write_text("".join(chunks))
+
+    loaded = kt.load_fortran_original_tables(path)
+    _assert_roundtrip(orig, loaded)

@@ -19,6 +19,14 @@ These are *data* (model physics coefficients), extracted rather than
 re-typed so they match the reference bit-for-bit.
 
 Usage:  python tools/build_assets.py [--reference /root/reference]
+                                     [--nc rrtmg_lw.nc | --kg rrtmg_lw_k_g.f90]
+
+With --nc / --kg it additionally converts the public k-table blob
+(either form — the reference's KGSRC=nc|dat switch,
+build/makefiles/make_rrtmg_lw_linux_pgi:13) into
+``assets/ktables_real.npz``; the model then loads real data
+automatically and the golden harness gates against the committed
+run_examples_std_atm outputs.
 """
 
 import argparse
@@ -90,10 +98,14 @@ def build_static_tables(ref: pathlib.Path) -> dict:
     return out
 
 
-def main():
+def main():  # noqa: C901
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--nc", default=None,
+                    help="path to the public rrtmg_lw.nc k-data")
+    ap.add_argument("--kg", default=None,
+                    help="path to the public rrtmg_lw_k_g.f90 k-data")
     args = ap.parse_args()
 
     ref = pathlib.Path(args.reference)
@@ -106,6 +118,16 @@ def main():
     np.savez_compressed(out_path, **tables)
     total = sum(v.size for v in tables.values() if hasattr(v, "size"))
     print(f"wrote {out_path} ({len(tables)} arrays, {total} values)")
+
+    if args.nc or args.kg:
+        from rrtmg_lw_tpu.data import ktables as kt
+        if args.nc:
+            kt.build_real_asset_from_netcdf(args.nc)
+            src = args.nc
+        else:
+            kt.build_real_asset_from_k_g(args.kg)
+            src = args.kg
+        print(f"wrote assets/ktables_real.npz (from {src})")
 
 
 if __name__ == "__main__":
