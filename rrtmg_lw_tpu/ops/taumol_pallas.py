@@ -134,23 +134,16 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
             key_ofs[b] = add_chunks(key_rows, chunks, ng)
         if spec.tauself and not spec.zero:
             s = np.asarray(t["selfref"], np.float64)      # (10, ng)
-            self_ofs[b] = add_chunks(
-                self_rows, [s.T, s[list(range(1, 10)) + [9]].T], ng)
+            self_ofs[b] = add_chunks(self_rows, [s.T], ng)
         if spec.taufor and not spec.zero:
             f = np.asarray(t["forref"], np.float64)       # (4, ng)
-            for_ofs[b] = add_chunks(
-                for_rows, [f.T, f[[1, 2, 3, 3]].T], ng)
+            for_ofs[b] = add_chunks(for_rows, [f.T], ng)
         for m in spec.minors:
             tab = np.asarray(t[m.table], np.float64)
             if tab.ndim == 2:
                 tab = tab[:, None, :]                     # (19, 1, ng)
             nk = tab.shape[1]
-            i1 = list(range(1, 19)) + [18]
-            chunks = []
-            for tap in (0, 1):
-                tt = tab if tap == 0 else tab[i1]
-                for kk in range(nk):
-                    chunks.append(tt[:, kk, :].T)         # (ng, 19)
+            chunks = [tab[:, kk, :].T for kk in range(nk)]  # (ng, 19)
             ofs, stride = add_chunks(minor_rows, chunks, ng)
             minor_ofs[(b, m.table)] = (ofs, stride, nk)
         if not spec.zero:
@@ -413,15 +406,12 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
         taug = speccomb * acc0 + speccomb1 * acc1
 
     if spec.tauself:
-        o, stride = tabs.self_ofs[b]
-        lo = ctx.Ms[o: o + ng, :]
-        hi = ctx.Ms[o + stride: o + stride + ng, :]
-        taug = taug + sf["selffac"] * (lo + sf["selffrac"] * (hi - lo))
+        o, _ = tabs.self_ofs[b]
+        # selffac/selffrac pre-folded into the aux W
+        taug = taug + ctx.Ms[o: o + ng, :]
     if spec.taufor:
-        o, stride = tabs.for_ofs[b]
-        lo = ctx.Mf[o: o + ng, :]
-        hi = ctx.Mf[o + stride: o + stride + ng, :]
-        taug = taug + sf["forfac"] * (lo + sf["forfrac"] * (hi - lo))
+        o, _ = tabs.for_ofs[b]
+        taug = taug + ctx.Mf[o: o + ng, :]
 
     for m in spec.minors:
         if m.col.startswith("adj_"):
@@ -436,9 +426,8 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
             colm = _col(ctx, m.col[3:])
         o, stride, nk = tabs.minor_ofs[(b, m.table)]
         if m.kind == "flat":
-            lo = ctx.Mm[o: o + ng, :]
-            hi = ctx.Mm[o + stride: o + stride + ng, :]
-            absm = lo + sf["minorfrac"] * (hi - lo)
+            # minorfrac pre-folded into the aux W
+            absm = ctx.Mm[o: o + ng, :]
         else:
             g1, g2, plev = m.refrat
             refrat = float(chi_np[_GAS_CHI[g1] - 1, plev - 1]
@@ -447,19 +436,13 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
                                         jnp.asarray(refrat, dtype), scale)
             jm0 = jnp.clip(jm0, 0, nk - 2)
             a1 = jnp.zeros((ng, T), dtype)
-            a2 = jnp.zeros((ng, T), dtype)
             for k in range(nk - 1):
                 sel = jm0 == k
-                m00 = ctx.Mm[o + k * stride: o + k * stride + ng, :]
-                m10 = ctx.Mm[o + (k + 1) * stride:
-                             o + (k + 1) * stride + ng, :]
-                o2 = o + nk * stride
-                m01 = ctx.Mm[o2 + k * stride: o2 + k * stride + ng, :]
-                m11 = ctx.Mm[o2 + (k + 1) * stride:
-                             o2 + (k + 1) * stride + ng, :]
-                a1 = a1 + jnp.where(sel, m00 + fm * (m10 - m00), 0.0)
-                a2 = a2 + jnp.where(sel, m01 + fm * (m11 - m01), 0.0)
-            absm = a1 + sf["minorfrac"] * (a2 - a1)
+                m0 = ctx.Mm[o + k * stride: o + k * stride + ng, :]
+                m1 = ctx.Mm[o + (k + 1) * stride:
+                            o + (k + 1) * stride + ng, :]
+                a1 = a1 + jnp.where(sel, m0 + fm * (m1 - m0), 0.0)
+            absm = a1
         taug = taug + colm * absm
 
     for wx_i, vec in spec.cfcs:
@@ -544,16 +527,19 @@ class PallasTaumol:
         # blocks concatenate along K): 4 small MXU dots -> 1
         self._aux_meta = {}
         for reg, R, P in ((self.low, 65, 13), (self.up, 235, 47)):
-            t = _split(reg.keyT, nsplit)
+            t = None if reg.keyT is None else _split(reg.keyT, nsplit)
             tw = t
-            if window:
-                tw, nwin = _expand_windows(t, R, window, WSTEP,
-                                           nsplit_w)
-                self._nwin[R] = nwin
-            # column-tiled for the single-dot contraction
-            t = np.tile(t, (1, nsplit_w))
-            if not window:
-                tw = t
+            if t is not None:
+                if window:
+                    tw, nwin = _expand_windows(t, R, window, WSTEP,
+                                               nsplit_w)
+                    self._nwin[R] = nwin
+                # column-tiled for the single-dot contraction
+                t = np.tile(t, (1, nsplit_w))
+                if not window:
+                    tw = t
+            elif window:
+                self._nwin[R] = 1
             self._packed.append(t)
             self._packed_win.append(tw)
 
@@ -575,7 +561,9 @@ class PallasTaumol:
                 C[r0:r0 + tab.shape[0], c0:c0 + K] = tab
             meta["_shape"] = (r, c)
             self._aux_meta[R] = meta
-            aux = _split(C, nsplit)
+            # column-tiled: the weighted W ships as nsplit_w bf16
+            # levels contracted in one dot (same scheme as keyT)
+            aux = np.tile(_split(C, nsplit), (1, nsplit_w))
             self._packed.append(aux)
             self._packed_win.append(aux)
 
@@ -703,18 +691,37 @@ class PallasTaumol:
             def aux_dot(aux_ref, meta, rchi):
                 """Fused chi/self/foreign/minor selection: the one-hot
                 blocks concatenate along K against the block-diagonal
-                aux table — one MXU dot replaces four."""
+                aux table — one MXU dot replaces four.  The continuum /
+                minor temperature-interpolation weights are FOLDED into
+                the W entries (lo tap gets fac*(1-frac), the clamped
+                hi tap fac*frac), so the per-band fma chains collapse
+                into the matmul and the tables carry a single tap."""
                 Dtot, Kc = meta["_shape"]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (Kc, T), 0)
-                idx_of = {"chiT": rchi // 5, "selfT": si["indself"],
-                          "forT": si["indfor"], "minorT": si["indminor"]}
-                W = jnp.zeros((Kc, T), dtype)
-                for name, idx in idx_of.items():
+                one = jnp.ones((1, T), dtype)
+                taps = {
+                    "chiT": (rchi // 5, one, None, None, None),
+                    "selfT": (si["indself"], sf["selffac"],
+                              sf["selffrac"], 9, None),
+                    "forT": (si["indfor"], sf["forfac"],
+                             sf["forfrac"], 3, None),
+                    "minorT": (si["indminor"], one, sf["minorfrac"],
+                               18, None),
+                }
+                W = jnp.zeros((Kc, T), jnp.float32)
+                for name, (idx, fac, frac, hi_max, _) in taps.items():
                     if name not in meta:
                         continue
                     _, _, c0 = meta[name]
-                    W = W + jnp.where(iota == c0 + idx, 1.0, 0.0)
-                M = _dot(aux_ref[:], W.astype(dtype), ns)
+                    if frac is None:
+                        W = W + jnp.where(iota == c0 + idx, 1.0, 0.0)
+                    else:
+                        lo_w = fac * (1.0 - frac)
+                        hi_w = fac * frac
+                        hi = jnp.minimum(idx + 1, hi_max)
+                        W = (W + jnp.where(iota == c0 + idx, lo_w, 0.0)
+                             + jnp.where(iota == c0 + hi, hi_w, 0.0))
+                M = _dot_facw(aux_ref[:], W, ns, nw)
 
                 def sl(name):
                     if name not in meta:
