@@ -7,13 +7,14 @@ McICA): batched over columns, sharded over device meshes, jit-compiled.
 
 from .config import LWConfig
 from .types import (Atmosphere, BandClouds, Fluxes, McicaClouds,
-                    McicaCloudsBlocked, Profile, SetcoefOut)
+                    McicaCloudsBlocked, McicaCloudsCompact, Profile,
+                    SetcoefOut)
 from .models.radiation import RRTMGLW, make_model
 
 __version__ = "0.1.0"
 
 __all__ = [
     "LWConfig", "Atmosphere", "BandClouds", "Fluxes", "McicaClouds",
-    "McicaCloudsBlocked", "Profile", "SetcoefOut", "RRTMGLW",
-    "make_model", "__version__",
+    "McicaCloudsBlocked", "McicaCloudsCompact", "Profile", "SetcoefOut",
+    "RRTMGLW", "make_model", "__version__",
 ]

@@ -15,13 +15,18 @@ This kernel removes every gather by exploiting the index structure
     interpolation weights are FOLDED INTO the selection matrix — each W
     column carries the two temperature taps of one pressure slot as
     weighted entries, so the two-tap fma per eta column collapses into
-    the matmul (rrtmg_lw_taumol.f90:565-573);
-  * the eta (js) taps, self/foreign continuum (10/4 temperatures),
-    minor-gas tables (19 temperatures) and the Planck-fraction eta
-    interpolation are narrow index spaces handled by tiny one-hot
-    matmuls or compare-select sums on the VPU;
-  * chi_mls(gas, jp+1) (minor-gas over-abundance adjustments) comes
-    from its own small pressure-indexed one-hot matmul.
+    the matmul (rrtmg_lw_taumol.f90:565-573).  In the blocked kernel
+    (layer-pure tiles) a data-dependent 64-row pressure WINDOW makes
+    the contraction exactly nsplit_w*64 = 128 (the MXU otherwise pads
+    K to 256/512); window indices arrive by scalar prefetch and
+    PallasTaumol.window_ok flags the (physically absurd) inputs whose
+    per-tile jp spread exceeds the window;
+  * chi_mls / self / foreign / minor selections fuse into ONE
+    block-diagonal "aux" matmul per region, with the continuum and
+    minor temperature-interpolation weights folded into the W entries
+    (single-tap tables; the per-band fma chains collapse into the dot);
+  * the eta (js) taps and the Planck-fraction eta interpolation are
+    compare-select sums on the VPU.
 
 Layout: everything is computed TRANSPOSED — (g, cells) with the cell
 tile in the 128-lane dimension — so the hundreds of per-band vector

@@ -384,3 +384,67 @@ def test_compact_int8_mask_parity(stack):
     bi = cl_i.to_blocked()
     np.testing.assert_array_equal(np.asarray(bf.ciwpmc),
                                   np.asarray(bi.ciwpmc))
+
+
+@pytest.mark.parametrize("inflag", [0, 1, 2])
+def test_cldprop_banded_blocked_matches_plain(stack, inflag):
+    from rrtmg_lw_tpu.ops import cldprop as cld_ops
+    from rrtmg_lw_tpu.utils.synthetic import make_band_clouds
+    model = stack[0]
+    bc = make_band_clouds(ncol=8, nlay=43, dtype=jnp.float32)
+    if inflag == 0:
+        bc = bc._replace(tauc=jnp.where(
+            bc.cldfrac[..., None] > 0, 3.0, 0.0)
+            * jnp.ones((1, 1, 16), jnp.float32))
+    kw = dict(inflag=inflag, iceflag=3, liqflag=1)
+    tau, ok = cld_ops.cldprop(bc, model.static_np, **kw)
+    tau_t, ok_t = cld_ops.cldprop_banded_blocked(bc, model.static_np,
+                                                 **kw)
+    np.testing.assert_array_equal(
+        np.asarray(tau_t), np.transpose(np.asarray(tau), (1, 2, 0)))
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_t))
+
+
+def test_nonresident_chunked_path():
+    """Large L flips the whole-profile VMEM residency off; the chunked
+    (plo/phi re-streaming) kernel must agree with the XLA scans."""
+    from rrtmg_lw_tpu.ops.inatm import inatm
+    from rrtmg_lw_tpu.ops.setcoef import setcoef
+    from rrtmg_lw_tpu.utils.synthetic import make_atmosphere
+    B, L = 4, 168
+    cfg = LWConfig(icld=0, dtype="float32", use_lut=False,
+                   taumol_impl="xla")
+    model = make_model(cfg)
+    atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32)
+    prof = inatm(atm, dtype=jnp.float32)
+    sc = setcoef(prof, model.static, istart=1, idrv=0)
+    taug, fracs = model.engine(sc, prof)
+    taut = taug + prof.taua[..., model.ngb0]
+    rng = np.random.default_rng(2)
+    cldf = (rng.random((B, L, 140)) < 0.2).astype(np.float32)
+    odcld = (rng.random((B, L, 140)) * 4).astype(np.float32) * cldf
+    kw = dict(static=model.static_np, idrv=0,
+              heatfac_val=model.heatfac)
+    gate = jnp.asarray(cldf) >= 0.5
+    ref = rt.rt_random_overlap(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+        jnp.asarray(cldf), jnp.asarray(odcld),
+        cloudy_lay=jnp.any(gate, -1), cld_gate=gate, luts=None,
+        use_lut=False, istart=1, iend=16, **kw)
+    # tile=128 at L=168 exceeds the residency budget -> chunked path
+    from rrtmg_lw_tpu.ops.rtrn_pallas import rt_fluxes_pallas
+    import numpy as _np
+    res = rt_fluxes_pallas(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm,
+        jnp.asarray(cldf), jnp.asarray(odcld), None,
+        gate_thresh=0.5, ngb0=model.ngb0,
+        delwave=_np.asarray(model.static_np["delwave"]),
+        cloudy=True, idrv=0, interpret=True)
+    names = ["totuflux", "totdflux", "totuclfl", "totdclfl"]
+    for name, got in zip(names, res):
+        a = np.asarray(getattr(ref, name))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(got), a,
+                                   atol=2e-6 * scale, err_msg=name)
