@@ -86,7 +86,7 @@ def _gas_factors(od):
 
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
-                  gate_thresh, ngb0_key, delwave_key, resident,
+                  gate_thresh, ngb0_key, delwave_key, resident, cache,
                   fused_clouds, compact, banded, maxrand, interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples.
 
@@ -144,10 +144,13 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 cldf_r, odcld_r = refs[k:k + 2]; k += 2
         out_r, rad_s, flag_s = refs[k:k + 3]
         k += 3
-        if resident:
+        if cache:
             # down-sweep level cache: the up sweep replays
             # atrans/tf/blay (+cloud factors) from VMEM instead of
-            # recomputing the exp/divide/matmul work per level
+            # recomputing the exp/divide/matmul work per level.
+            # With ``cache`` but not ``resident`` (deep profiles whose
+            # whole-(Lp) inputs overflow VMEM), inputs stream per
+            # chunk while the Lp-sized cache persists.
             at_s, tf_s, blay_s, pg_s = refs[k:k + 4]
             k += 4
             if cloudy:
@@ -298,9 +301,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             for k in reversed(range(Lc)):
                 c = common(k)
                 f, blay, atrans, tf = c[:4]
-                if resident:
+                if cache:
                     row = chunk * Lc + k
-                    pg = edot(rd(plev_r, k))
+                    pg = edot(rd(plev_r, k)) if resident \
+                        else edot(rd(plo_r, k))
                     dpl = pg - blay
                     at_s[pl.ds(row, 1)] = atrans[None]
                     tf_s[pl.ds(row, 1)] = tf[None]
@@ -313,7 +317,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                         @pl.when(chunk == nc - 1)
                         def _top():
                             pg_s[pl.ds(Lp, 1)] = edot(
-                                rd(plev_r, Lc))[None]
+                                rd(plev_r, Lc) if resident
+                                else rd(phi_r, Lc - 1))[None]
                     if cloudy:
                         atot_s[pl.ds(row, 1)] = c[6][None]
                         tftot_s[pl.ds(row, 1)] = c[7][None]
@@ -410,7 +415,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             anyc = (flag_s[1:2, :] if maxrand
                     else flag_s[0:1, :]) > 0.0
             for k in range(Lc):
-                if resident:
+                if cache:
                     # replay the down sweep's per-level factors from
                     # the VMEM cache: no exp/divide/matmul here
                     row = chunk * Lc + k
@@ -570,7 +575,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         pltpu.VMEM((NRAD, G_pad, BT), jnp.float32),
         pltpu.VMEM((8, BT), jnp.float32),
     ]
-    if resident:
+    if cache:
         # down-sweep level cache (at/tf/blay + plev_g rows)
         scratch_shapes += [
             pltpu.VMEM((Lp, G_pad, BT), jnp.float32),       # at_s
@@ -664,13 +669,6 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     Bp = _pad_to(B, tile)
     L1p = _pad_to(Lp + 1, 8)
 
-    sec_band = rt_xla.secdiff(pwvcm, dtype)          # (B, 16)
-    surf = jnp.concatenate([
-        sec_band.T, semiss.T, plankbnd.T,
-        (dplankbnd_dt.T if idrv else jnp.zeros_like(plankbnd.T))],
-        axis=0)                                      # (64, B)
-    surf = jnp.pad(surf, ((0, 0), (0, Bp - B)))
-
     spec_dims = "glb" if native else "lgb"
     with_taua = taua is not None
     fused0 = cloud_fields is not None
@@ -692,10 +690,26 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     n_bres = 3 + (1 if with_taua else 0) + \
         ((2 if (banded or maxrand) else 3 if compact else 2)
          if fused0 else 0)
-    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
     cache_rows = 4 * Lp + 1 + (3 * Lp if cloudy else 0)
     cache_bytes = cache_rows * G_pad * tile * 4
+    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
     resident = 2 * per_tile + cache_bytes < 96 * 1024 * 1024
+    # deep profiles (production nlay ~70-140) overflow the whole-(Lp)
+    # input residency budget; keep the (cheaper, decisive) level cache
+    # and stream the inputs per chunk instead
+    chunk_bytes = (n_gres * G_pad + n_bres * NBANDS) * Lc * tile * 4
+    cache = resident or (4 * chunk_bytes + cache_bytes
+                         < 96 * 1024 * 1024)
+    import os
+    if os.environ.get("RRTMG_RT_NO_CACHE"):      # A/B diagnostics
+        resident = cache = False
+
+    sec_band = rt_xla.secdiff(pwvcm, dtype)          # (B, 16)
+    surf = jnp.concatenate([
+        sec_band.T, semiss.T, plankbnd.T,
+        (dplankbnd_dt.T if idrv else jnp.zeros_like(plankbnd.T))],
+        axis=0)                                      # (64, B)
+    surf = jnp.pad(surf, ((0, 0), (0, Bp - B)))
 
     if planck_blocked:
         # (L, 16, B) / (L+1, 16, B) from the Planck Pallas kernel;
@@ -769,8 +783,9 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                         bool(idrv), with_taua, float(gate_thresh),
                         tuple(int(v) for v in ngb0),
                         tuple(float(v) for v in delwave),
-                        bool(resident), bool(fused), bool(compact),
-                        bool(banded), bool(maxrand), bool(interpret))
+                        bool(resident), bool(cache), bool(fused),
+                        bool(compact), bool(banded), bool(maxrand),
+                        bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)
     return tuple(out[i] for i in range(out.shape[0]))
@@ -915,17 +930,18 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
 
 def maxrand_supported(L, G, tile=128, idrv=0):
     """True when the Pallas rtrnmr path's VMEM budget holds (mirrors
-    rt_fluxes_pallas's residency estimate; the max-random recursion
-    requires the resident level-cache layout)."""
+    rt_fluxes_pallas's estimate; the max-random recursion requires the
+    level-cache layout — resident or chunked-input cache-only)."""
     Lc = min(12, L)
     Lc = next(d for d in range(Lc, 0, -1) if L % d == 0)
     Lp = L
     G_pad = _pad_to(G, 8)
     n_gres, n_bres = 2, 3 + 1 + 2
+    cache_bytes = (4 * Lp + 1 + 3 * Lp) * G_pad * tile * 4
     per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
-    cache_rows = 4 * Lp + 1 + 3 * Lp
-    return 2 * per_tile + cache_rows * G_pad * tile * 4 \
-        < 96 * 1024 * 1024
+    chunk_bytes = (n_gres * G_pad + n_bres * NBANDS) * Lc * tile * 4
+    return (2 * per_tile + cache_bytes < 96 * 1024 * 1024
+            or 4 * chunk_bytes + cache_bytes < 96 * 1024 * 1024)
 
 
 def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
