@@ -36,6 +36,7 @@ the XLA implementation (identical math at f32).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -53,6 +54,27 @@ NBANDS = 16
 
 def _pad_to(n, m):
     return -(-n // m) * m
+
+
+def _vmem_plan(Lp, Lc, G_pad, tile, cloudy, n_gres, n_bres):
+    """(resident, cache) VMEM strategy for the sweep kernel.
+
+    ``resident``: every input block is whole-(Lp) per column tile (one
+    DMA per tile instead of per sweep).  ``cache``: the down sweep
+    stores the per-level gas/cloud factors (at/tf/blay/plev_g [+3
+    cloudy rows]) in Lp-sized VMEM scratch for the up sweep to replay.
+    Deep profiles (production nlay ~70-140) overflow the residency
+    budget first; the cache is cheaper and decisive, so it is kept
+    with per-chunk input streaming until it too overflows.  Budget:
+    2x pipeline double-buffering, under the ~112 MB VMEM limit.
+    """
+    cache_rows = 4 * Lp + 1 + (3 * Lp if cloudy else 0)
+    cache_bytes = cache_rows * G_pad * tile * 4
+    row_bytes = (n_gres * G_pad + n_bres * NBANDS) * tile * 4
+    budget = 96 * 1024 * 1024
+    resident = 2 * row_bytes * Lp + cache_bytes < budget
+    cache = resident or (4 * row_bytes * Lc + cache_bytes < budget)
+    return resident, cache
 
 
 E006 = float(np.exp(-0.06))      # exp at the small-od clamp point
@@ -690,17 +712,8 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     n_bres = 3 + (1 if with_taua else 0) + \
         ((2 if (banded or maxrand) else 3 if compact else 2)
          if fused0 else 0)
-    cache_rows = 4 * Lp + 1 + (3 * Lp if cloudy else 0)
-    cache_bytes = cache_rows * G_pad * tile * 4
-    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
-    resident = 2 * per_tile + cache_bytes < 96 * 1024 * 1024
-    # deep profiles (production nlay ~70-140) overflow the whole-(Lp)
-    # input residency budget; keep the (cheaper, decisive) level cache
-    # and stream the inputs per chunk instead
-    chunk_bytes = (n_gres * G_pad + n_bres * NBANDS) * Lc * tile * 4
-    cache = resident or (4 * chunk_bytes + cache_bytes
-                         < 96 * 1024 * 1024)
-    import os
+    resident, cache = _vmem_plan(Lp, Lc, G_pad, tile, cloudy,
+                                 n_gres, n_bres)
     if os.environ.get("RRTMG_RT_NO_CACHE"):      # A/B diagnostics
         resident = cache = False
 
@@ -929,19 +942,14 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
 
 
 def maxrand_supported(L, G, tile=128, idrv=0):
-    """True when the Pallas rtrnmr path's VMEM budget holds (mirrors
-    rt_fluxes_pallas's estimate; the max-random recursion requires the
-    level-cache layout — resident or chunked-input cache-only)."""
+    """True when the Pallas rtrnmr path's VMEM budget holds (same
+    _vmem_plan as rt_fluxes_pallas; the max-random recursion requires
+    the level-cache layout — resident or chunked-input cache-only)."""
     Lc = min(12, L)
     Lc = next(d for d in range(Lc, 0, -1) if L % d == 0)
-    Lp = L
-    G_pad = _pad_to(G, 8)
-    n_gres, n_bres = 2, 3 + 1 + 2
-    cache_bytes = (4 * Lp + 1 + 3 * Lp) * G_pad * tile * 4
-    per_tile = (n_gres * G_pad + n_bres * NBANDS) * Lp * tile * 4
-    chunk_bytes = (n_gres * G_pad + n_bres * NBANDS) * Lc * tile * 4
-    return (2 * per_tile + cache_bytes < 96 * 1024 * 1024
-            or 4 * chunk_bytes + cache_bytes < 96 * 1024 * 1024)
+    _, cache = _vmem_plan(L, Lc, _pad_to(G, 8), tile, cloudy=True,
+                          n_gres=2, n_bres=3 + 1 + 2)
+    return cache
 
 
 def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
