@@ -43,10 +43,31 @@ def _bench_one(step, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def _probe_backend(timeout_s):
+    """Initialize the default backend in a subprocess first: a hung
+    device tunnel (observed with axon) blocks jax.devices() forever
+    with no error, so probe with a hard timeout and fall back to CPU
+    rather than hang the whole bench run."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except Exception:
+        return False
+
+
 def main():
     from rrtmg_lw_tpu import LWConfig, make_model
     from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
                                               make_mcica_clouds)
+
+    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+    if probe_s > 0 and not _probe_backend(probe_s):
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.default_backend()
     ncol = int(os.environ.get("BENCH_NCOLS",
