@@ -716,6 +716,10 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                                  n_gres, n_bres)
     if os.environ.get("RRTMG_RT_NO_CACHE"):      # A/B diagnostics
         resident = cache = False
+    elif os.environ.get("RRTMG_RT_NO_RESIDENT"):
+        # force the chunked-input + level-cache layout (deep-profile
+        # configuration) at small test shapes
+        resident = False
 
     sec_band = rt_xla.secdiff(pwvcm, dtype)          # (B, 16)
     surf = jnp.concatenate([

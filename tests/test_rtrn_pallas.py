@@ -207,11 +207,14 @@ def test_cldprmc_blocked_matches_plain(stack):
     assert not np.asarray(cldf_t[:, 140:]).any()
 
 
-def test_compact_clouds_parity(stack):
+@pytest.mark.parametrize("mode", ["resident", "chunked"])
+def test_compact_clouds_parity(stack, mode, monkeypatch):
     """Generator-form compact clouds (mask + per-layer water paths)
     must reproduce the fused blocked-cloud path exactly — the
     in-kernel per-layer x mask product is the same f32 multiply the
-    generator materializes."""
+    generator materializes.  In ``chunked`` mode the compact run uses
+    the deep-profile VMEM layout (streamed inputs + level cache) and
+    must still match the resident reference bitwise."""
     from rrtmg_lw_tpu.ops import cldprop as cld_ops
     from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
     model, prof, sc, taut, fracs, _, _ = stack
@@ -238,6 +241,8 @@ def test_compact_clouds_parity(stack):
                       cl_b.taucmc, abi_t, abl_t),
         interpret=True, tile=8, **kw)
 
+    if mode == "chunked":
+        monkeypatch.setenv("RRTMG_RT_NO_RESIDENT", "1")
     cw_t = jnp.pad(jnp.stack([cl_c.ciwp.T, cl_c.clwp.T], axis=1),
                    ((0, 0), (0, 6), (0, 0)))
     out = rtp.rt_random_overlap_pallas(
@@ -267,10 +272,12 @@ def test_compact_clouds_model_grad(stack):
                    * cl_c.cldfmc[:, :140, :]))
 
 
-def test_banded_clouds_parity(stack):
+@pytest.mark.parametrize("mode", ["resident", "chunked"])
+def test_banded_clouds_parity(stack, mode, monkeypatch):
     """Deterministic per-band clouds (icld=1): the in-kernel band->g
     expansion must match the pre-expanded (B, L, G) path (edot split
-    precision ~2^-24)."""
+    precision ~2^-24).  ``chunked`` runs the banded kernel in the
+    deep-profile VMEM layout (streamed inputs + level cache)."""
     from rrtmg_lw_tpu.ops import cldprop as cld_ops
     from rrtmg_lw_tpu.types import BandClouds
     model, prof, sc, taut, fracs, _, _ = stack
@@ -299,6 +306,8 @@ def test_banded_clouds_parity(stack):
     def to_blocked(x):
         return jnp.pad(jnp.transpose(x, (1, 2, 0)),
                        ((0, 0), (0, 4), (0, 0)))
+    if mode == "chunked":
+        monkeypatch.setenv("RRTMG_RT_NO_RESIDENT", "1")
     taucb_t, _ = cld_ops.cldprop_banded_blocked(
         bc, model.static_np, inflag=2, iceflag=3, liqflag=1)
     cl8_t = jnp.pad(bc.cldfrac.T[:, None, :], ((0, 0), (0, 7), (0, 0)))
@@ -314,8 +323,9 @@ def test_banded_clouds_parity(stack):
             np.asarray(getattr(ref, name)), atol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("mode", ["resident", "chunked"])
 @pytest.mark.parametrize("idrv", [0, 1])
-def test_maxrand_pallas_parity(stack, idrv):
+def test_maxrand_pallas_parity(stack, idrv, mode, monkeypatch):
     """Pallas rtrnmr (max-random overlap sub-stream recursion) vs the
     XLA scan implementation."""
     from rrtmg_lw_tpu.ops import cldprop as cld_ops
@@ -339,6 +349,10 @@ def test_maxrand_pallas_parity(stack, idrv):
         relq=jnp.full((B, L), 10.0, jnp.float32))
     kw = dict(static=model.static_np, idrv=idrv,
               heatfac_val=model.heatfac)
+    if mode == "chunked":
+        # deep-profile VMEM layout: inputs stream per chunk while the
+        # Lp-sized level cache persists (rtrn_pallas._vmem_plan)
+        monkeypatch.setenv("RRTMG_RT_NO_RESIDENT", "1")
 
     taucloud, _ = cld_ops.cldprop(bc, model.static_np, inflag=2,
                                   iceflag=3, liqflag=1)
