@@ -16,8 +16,14 @@ from ..types import (Atmosphere, BandClouds, McicaClouds,
                      McicaCloudsBlocked)
 
 
-def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64):
-    """A smooth, physically-plausible batch of mid-latitude-ish columns."""
+def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64,
+                    aod=0.0):
+    """A smooth, physically-plausible batch of mid-latitude-ish columns.
+
+    ``aod`` > 0 fills tauaer with a boundary-layer aerosol: total
+    column optical depth ~aod per band, decaying over ~2 km (the
+    IN_AER_RRTM examples put 12 layers of per-band AOD near the
+    surface)."""
     rng = np.random.default_rng(seed)
     # sigma-coordinate pressure levels, surface ~1013 mb to ~0.03 mb
     lev = np.linspace(0, 1, nlay + 1)
@@ -45,6 +51,13 @@ def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64):
 
     ones = np.ones_like(play)
 
+    tauaer = np.zeros((ncol, nlay, 16))
+    if aod > 0.0:
+        w = np.exp(-z / 2.0)                    # boundary-layer decay
+        w /= w.sum(axis=1, keepdims=True)
+        band = 1.0 - 0.4 * np.arange(16) / 15.0     # mild spectral slope
+        tauaer = aod * w[:, :, None] * band
+
     def arr(x):
         return jnp.asarray(x, dtype)
 
@@ -57,7 +70,7 @@ def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64):
         cfc11vmr=arr(2.6e-10 * ones), cfc12vmr=arr(5.4e-10 * ones),
         cfc22vmr=arr(1.0e-10 * ones), ccl4vmr=arr(1.0e-10 * ones),
         emis=arr(np.full((ncol, 16), 0.95)),
-        tauaer=arr(np.zeros((ncol, nlay, 16))),
+        tauaer=arr(tauaer),
     )
 
 
@@ -86,18 +99,23 @@ def make_band_clouds(ncol=4, nlay=51, seed=1, dtype=jnp.float64):
 
 
 def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
-                      ngpt=140, layout="batch", mask_dtype=None):
+                      ngpt=140, layout="batch", mask_dtype=None,
+                      clear_frac=0.0):
     """A plausible binary per-g-point McICA cloud state (for tests/bench
     that don't exercise the stochastic generator itself).
 
     layout="blocked" emits a McicaCloudsBlocked with the per-g arrays
-    already in the Pallas pipeline's native (L, NGPT, B) layout."""
+    already in the Pallas pipeline's native (L, NGPT, B) layout.
+    ``clear_frac`` leaves that fraction of columns cloud-free (mixed
+    GCM-mode populations; the RT kernel's cloud gate skips their
+    cloudy stream)."""
     rng = np.random.default_rng(seed)
     cldf = np.zeros((ncol, nlay, ngpt))
     ciwp = np.zeros((ncol, nlay, ngpt))
     clwp = np.zeros((ncol, nlay, ngpt))
     lo = 3 + rng.integers(0, 3, ncol)
-    for c in range(ncol):
+    cloudy_cols = range(int(round(clear_frac * ncol)), ncol)
+    for c in cloudy_cols:
         lays = slice(lo[c], lo[c] + 4)
         mask = rng.random((4, ngpt)) < 0.6
         cldf[c, lays] = mask
