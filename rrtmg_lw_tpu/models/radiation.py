@@ -135,10 +135,13 @@ class RRTMGLW:
                    and self.engine.supports_blocked(B, L))
         planck_b = False
         planck_args = None
+        win_ok = None
         if blocked:
             sc = setcoef(prof, self.static, istart=cfg.istart,
                          idrv=cfg.idrv)
             taut, fracs = self.engine.forward_blocked(sc, prof)
+            if hasattr(self.engine, "window_ok"):
+                win_ok = self.engine.window_ok(sc)
             # Planck sources straight to the RT kernel's (L, 16, B)
             # layout via the VMEM-tiled Pallas interp; setcoef's
             # HBM-materialized one-hot planklay/planklev then dead-code
@@ -275,15 +278,6 @@ class RRTMGLW:
                                 ((0, 0), (0, 7), (0, 0))).astype(dtype)
                 out = run_rt(None, None, True, 1.0e-6,
                              cloud_fields=(cl8_t, taucb_t))
-            else:
-                taucloud, bounds_ok = cld_ops.cldprop(
-                    clouds, self.static_np, inflag=cfg.inflag,
-                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
-                odcld_g = taucloud[..., self.ngb0][..., gsel]
-            if cfg.icld == 1 and not blocked:
-                cldf_g = jnp.broadcast_to(
-                    clouds.cldfrac[..., None], (B, L, len(gsel)))
-                out = run_rt(cldf_g, odcld_g, True, 1.0e-6)
             elif cfg.icld != 1 and blocked:
                 # Pallas rtrnmr: per-band cloud od + the 16 per-layer
                 # overlap-factor rows stream into the sweep kernel
@@ -301,15 +295,24 @@ class RRTMGLW:
                     idrv=cfg.idrv, heatfac_val=self.heatfac,
                     istart=cfg.istart, iend=cfg.iend,
                     planck_blocked=planck_b)
-            elif cfg.icld != 1:
-                out = rtmr.rt_maxrandom(
-                    taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
-                    sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
-                    clouds.cldfrac, odcld_g,
-                    static=self.static_np, luts=self.luts,
-                    use_lut=cfg.use_lut, idrv=cfg.idrv,
-                    heatfac_val=self.heatfac, istart=cfg.istart,
-                    iend=cfg.iend)
+            else:
+                taucloud, bounds_ok = cld_ops.cldprop(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                odcld_g = taucloud[..., self.ngb0][..., gsel]
+                if cfg.icld == 1:
+                    cldf_g = jnp.broadcast_to(
+                        clouds.cldfrac[..., None], (B, L, len(gsel)))
+                    out = run_rt(cldf_g, odcld_g, True, 1.0e-6)
+                else:
+                    out = rtmr.rt_maxrandom(
+                        taut, fracs, sc.planklay, sc.planklev,
+                        sc.plankbnd, sc.dplankbnd_dt, prof.semiss,
+                        prof.pwvcm, prof.pz, clouds.cldfrac, odcld_g,
+                        static=self.static_np, luts=self.luts,
+                        use_lut=cfg.use_lut, idrv=cfg.idrv,
+                        heatfac_val=self.heatfac, istart=cfg.istart,
+                        iend=cfg.iend)
 
         uflx, dflx = out.totuflux, out.totdflux
         duflx_dt = out.dtotuflux_dt
@@ -325,9 +328,9 @@ class RRTMGLW:
             htr = self.heatfac * (fnet[:, :-1] - fnet[:, 1:]) / dp
             htrc = self.heatfac * (fnetc[:, :-1] - fnetc[:, 1:]) / dp
             return Fluxes(uflx, dflx, htr, uflxc, out.totdclfl, htrc,
-                          duflx_dt, duflxc_dt, bounds_ok)
+                          duflx_dt, duflxc_dt, bounds_ok, win_ok)
         return Fluxes(uflx, dflx, out.htr, out.totuclfl, out.totdclfl,
-                      out.htrc, duflx_dt, duflxc_dt, bounds_ok)
+                      out.htrc, duflx_dt, duflxc_dt, bounds_ok, win_ok)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

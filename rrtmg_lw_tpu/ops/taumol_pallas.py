@@ -96,6 +96,7 @@ class RegionTables(NamedTuple):
     minor_ofs: dict          # (band, table) -> (offset, stride, nk)
     frac_ofs: dict           # band -> (offset, nrow_eta or 0)
     cfc_ofs: dict            # (band, vec) -> offset
+    const_kb: dict           # band -> (2, ng) constant absb rows (nspb=0)
 
 
 def build_region_tables(ktables: dict, static: dict, lower: bool,
@@ -110,6 +111,7 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
     minor_rows, minor_ofs = [], {}
     frac_rows_l, frac_ofs = [], {}
     cfc_rows, cfc_ofs = [], {}
+    const_kb = {}
     frac_w = 9 if lower else 5
 
     def add_chunks(dst, chunks, ng):
@@ -128,15 +130,23 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
         t = ktables[f"b{b:02d}"]
         ng = NG[b - 1]
         if spec.key1 is not None and not spec.zero:
-            nsp = max((NSPA if lower else NSPB)[b - 1], 1)
-            k = np.asarray(t["absa" if lower else "absb"],
-                           np.float64).reshape(P, 5, nsp, ng)
-            # single tap per eta column: the t+1 temperature tap is a
-            # second weighted entry in the fac-folded selection W, not
-            # a duplicated table copy
-            chunks = [k[:, :, s, :].transpose(2, 0, 1).reshape(ng, R)
-                      for s in range(nsp)]
-            key_ofs[b] = add_chunks(key_rows, chunks, ng)
+            nsp = (NSPA if lower else NSPB)[b - 1]
+            if nsp == 0:
+                # reference quirk (rrlw_wvn nspb(16)=0,
+                # rrtmg_lw_taumol.f90:195-196): ind0=ind1=1 for every
+                # upper layer, so taug always taps absb rows 1/2 —
+                # two compile-time constant rows, no selection
+                kb = np.asarray(t["absb"], np.float64).reshape(-1, ng)
+                const_kb[b] = kb[0:2, :]
+            else:
+                k = np.asarray(t["absa" if lower else "absb"],
+                               np.float64).reshape(P, 5, nsp, ng)
+                # single tap per eta column: the t+1 temperature tap
+                # is a second weighted entry in the fac-folded
+                # selection W, not a duplicated table copy
+                chunks = [k[:, :, s, :].transpose(2, 0, 1).reshape(ng, R)
+                          for s in range(nsp)]
+                key_ofs[b] = add_chunks(key_rows, chunks, ng)
         if spec.tauself and not spec.zero:
             s = np.asarray(t["selfref"], np.float64)      # (10, ng)
             self_ofs[b] = add_chunks(self_rows, [s.T], ng)
@@ -167,10 +177,13 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
 
     # chi_mls(gas, jp+1) as its own pressure-indexed table: the key W
     # now carries fac weights, so chi needs a separate unweighted
-    # one-hot selection over the P pressure slots (p from the same
-    # clipped (jp+1, jt1) row index the old in-keyT rows saw)
+    # one-hot selection over the P pressure slots.  The kernel selects
+    # column r1//5, which is jp+1 (lower) / jp-11 (upper) for the
+    # 0-based jp, so column p must hold chi_mls[:, p] (lower) /
+    # chi_mls[:, p+12] (upper) to land on the reference's
+    # chi_mls(gas, jp(lay)+1) (1-based; taumol.f90:548 et al.)
     pcol = np.arange(P)
-    chi_idx = np.clip((pcol + 1) if lower else (pcol + 13), 0, 58)
+    chi_idx = np.clip(pcol if lower else (pcol + 12), 0, 58)
     chi_pad = np.zeros((8, P))
     chi_pad[:7] = chi[:, chi_idx]                         # (7, P)
 
@@ -184,7 +197,8 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
         minorT=pack(minor_rows), fracT=pack(frac_rows_l),
         cfcT=pack(cfc_rows),
         key_ofs=key_ofs, self_ofs=self_ofs, for_ofs=for_ofs,
-        minor_ofs=minor_ofs, frac_ofs=frac_ofs, cfc_ofs=cfc_ofs)
+        minor_ofs=minor_ofs, frac_ofs=frac_ofs, cfc_ofs=cfc_ofs,
+        const_kb=const_kb)
 
 
 def _onehot_T(r, R, dtype):
@@ -395,20 +409,34 @@ def _region_eval(spec: RegionSpec, b: int, lower: bool, ctx: _Ctx,
             fs = fs1 = jnp.zeros_like(colk1)
             specparm = specparm1 = jnp.full_like(colk1, 0.5)
 
-        two_low = lower and spec.key2 is not None
-        ws0 = _eta_weights(js0, fs, specparm, nspc, two_low, dtype)
-        ws1 = _eta_weights(js1, fs1, specparm1, nspc, two_low, dtype)
+        if not lower and nsp == 0:
+            # nspb=0 quirk: ind0=ind1=1 always (taumol.f90:195-202 for
+            # band 16), so the key term is two constant absb rows
+            # weighted by the summed temperature factors.  ng is 2;
+            # the rows inline as scalars (pallas_call rejects captured
+            # array constants in the kernel closure)
+            kb = tabs.const_kb[b]
+            w0 = sf["fac00"] + sf["fac01"]               # (1, T)
+            w1 = sf["fac10"] + sf["fac11"]
+            taug = speccomb * jnp.concatenate(
+                [w0 * float(kb[0, g]) + w1 * float(kb[1, g])
+                 for g in range(ng)], axis=0)
+        else:
+            two_low = lower and spec.key2 is not None
+            ws0 = _eta_weights(js0, fs, specparm, nspc, two_low, dtype)
+            ws1 = _eta_weights(js1, fs1, specparm1, nspc, two_low,
+                               dtype)
 
-        # fac00*k(jt) + fac10*k(jt+1) already summed inside M0 (and
-        # fac01/fac11 inside M1) by the fac-folded selection W
-        ofs, stride = tabs.key_ofs[b]
-        acc0 = jnp.zeros((ng, T), dtype)
-        acc1 = jnp.zeros((ng, T), dtype)
-        for s in range(nspc):
-            r0 = ofs + s * stride
-            acc0 = acc0 + ws0[s] * ctx.M0[r0: r0 + ng, :]
-            acc1 = acc1 + ws1[s] * ctx.M1[r0: r0 + ng, :]
-        taug = speccomb * acc0 + speccomb1 * acc1
+            # fac00*k(jt) + fac10*k(jt+1) already summed inside M0
+            # (and fac01/fac11 inside M1) by the fac-folded selection W
+            ofs, stride = tabs.key_ofs[b]
+            acc0 = jnp.zeros((ng, T), dtype)
+            acc1 = jnp.zeros((ng, T), dtype)
+            for s in range(nspc):
+                r0 = ofs + s * stride
+                acc0 = acc0 + ws0[s] * ctx.M0[r0: r0 + ng, :]
+                acc1 = acc1 + ws1[s] * ctx.M1[r0: r0 + ng, :]
+            taug = speccomb * acc0 + speccomb1 * acc1
 
     if spec.tauself:
         o, _ = tabs.self_ofs[b]

@@ -67,6 +67,52 @@ def test_blocked_layout_matches_native(setup):
     assert not np.asarray(fr_b[:, 140:]).any()
 
 
+def _band_slices():
+    from rrtmg_lw_tpu.ops.taumol import NG
+    ofs = np.concatenate([[0], np.cumsum(NG)])
+    return {b: slice(ofs[b - 1], ofs[b]) for b in range(1, 17)}
+
+
+def test_minor_adjustment_chi_slot(setup):
+    """Over-abundant minor gases (ratio > threshold) must take the
+    adjustment branch with the reference's chi_mls(gas, jp+1) slot
+    (taumol.f90:548): a +1 slot error shifts adjcol by one pressure
+    level and diverges from the XLA engine in bands 3/6/7/8/9/13."""
+    model, prof, _ = setup
+    # boost CO2/N2O/CH4 (wkl gases 1/3/5) past the over-abundance
+    # thresholds; coldry is unchanged so chi ratios scale directly
+    boost = np.ones(prof.wkl.shape[-1])
+    boost[1], boost[3], boost[5] = 8.0, 50.0, 20.0
+    prof_b = prof._replace(wkl=prof.wkl * boost)
+    sc_b = jax.jit(lambda p: setcoef(p, model.static, istart=1,
+                                     idrv=0))(prof_b)
+    pt = PallasTaumol(model.ktables, model.static_np, interpret=True)
+    tg, _ = pt(sc_b, prof_b)
+    rt, _ = jax.jit(lambda s, p: model.engine(s, p))(sc_b, prof_b)
+    tg, rt = np.asarray(tg), np.asarray(rt)
+    for b, sl in _band_slices().items():
+        scale = max(np.abs(rt[..., sl]).max(), 1e-30)
+        err = np.abs(tg[..., sl] - rt[..., sl]).max() / scale
+        assert err < 2e-5, (b, err)
+
+
+def test_band16_upper_nspb0_quirk(setup):
+    """Band 16 upper atmosphere: nspb(16)=0 pins ind0=ind1=1
+    (rrtmg_lw_init.f90:228, taumol.f90:195-196), so taug must use absb
+    rows 1/2 for EVERY upper layer — not a pressure-indexed lookup."""
+    model, prof, sc = setup
+    pt = PallasTaumol(model.ktables, model.static_np, interpret=True)
+    tg, _ = pt(sc, prof)
+    rt, _ = jax.jit(lambda s, p: model.engine(s, p))(sc, prof)
+    upper = ~np.asarray(sc.laytrop_mask)
+    assert upper.any()
+    sl = _band_slices()[16]
+    a = np.asarray(rt)[upper][:, sl]
+    b = np.asarray(tg)[upper][:, sl]
+    scale = max(np.abs(a).max(), 1e-30)
+    assert np.abs(a - b).max() / scale < 1e-5
+
+
 def test_window_ok_flag(setup):
     model, prof, sc = setup
     pt = PallasTaumol(model.ktables, model.static_np, interpret=True,
