@@ -15,8 +15,28 @@ The reference hard-stops on out-of-range particle sizes
 
 Instead of the reference's (ncbands, ipat) indirection we always expand
 cloud optical depth to the 16 real bands here (composing the icb band
-mapping), which is numerically identical and removes the runtime-valued
-``ncbands`` from the RT hot path.
+mapping), which removes the runtime-valued ``ncbands`` from the RT hot
+path.  This is numerically identical to the reference for every McICA
+mode and for the banded modes with ncbands=16 (inflag 0/1, iceflag 2/3,
+or any liqflag=1 layer — ipat(iband,2) is the identity,
+rrtmg_lw_rtrn.f90:252-254), which covers all 14 reference example
+cases.
+
+**Documented deviation — non-McICA iceflag=1 (Ebert & Curry).**  There
+the reference sets a *scalar* ``ncbands=5`` per pure-ice layer and 16
+per mixed layer inside the layer loop (rrtmg_lw_cldprop.f90:173-295),
+so the value that reaches rtrn/rtrnmr is whichever cloudy layer came
+*last*; rtrn then reads ``taucloud(lay, ipat(iband))`` and applies
+``secdiff(ipat(iband))`` (rrtmg_lw_rtrn.f90:337-348,:370).
+Consequences in the reference: (a) the cloud od is weighted by the
+secdiff of the *cloud* band (1-5), not the spectral band; (b) with
+mixed pure-ice and ice+liquid layers the result depends on layer
+ordering — under a final ncbands=16 a pure-ice layer contributes zero
+cloud od in bands 6-16 (it only wrote slots 1:5).  We do not reproduce
+this aliasing artifact: the banded iceflag=1 path uses the same
+per-spectral-band expansion as the reference's own McICA treatment
+(cldprmc.f90:164 icb map, secdiff(iband)), making it layer-order
+independent and consistent with cldprmc.
 """
 
 from __future__ import annotations
