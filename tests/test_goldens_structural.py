@@ -1,0 +1,52 @@
+"""End-to-end column-mode regression against the reference goldens.
+
+Runs the full CLI path (INPUT_RRTM/IN_CLD_RRTM parse -> RRTATM
+atmosphere build -> radiation -> OUTPUT_RRTM writer) on representative
+decks from run_examples_std_atm and compares the *structure* of the
+output against the committed reference outputs: block count (iout=99
+emits 17 blocks), level count, level pressures, and band wavenumber
+headers must match the goldens exactly at printed precision.
+
+Flux/heating values are NOT gated here: the sandbox has synthetic
+k-tables (the real rrtmg_lw.nc blob is absent from the mount — see
+README "k-data"); with assets/ktables_real.npz installed,
+tools/run_goldens.py gates values at <=0.5 W/m2 / <=0.1 K/day.
+"""
+
+import pathlib
+import tempfile
+
+import pytest
+
+REF = pathlib.Path("/root/reference/run_examples_std_atm")
+
+# one per major driver path: clear iout=99 (RRTATM MLS + per-band
+# blocks), deterministic max-random overlap (rtrnmr + cldprop deck),
+# McICA exponential overlap (MT RNG + get_alpha)
+CASES = [
+    ("MLS-clr", "input_rrtm_MLS-clr", None),
+    ("MLS-cld5-imca0-icld2", "input_rrtm_MLS-cld-imca0-icld2",
+     "in_cld_rrtm-cld5"),
+    ("MLS-cld7-imca1-icld4-idcor0",
+     "input_rrtm_MLS-cld-imca1-icld4-idcor0", "in_cld_rrtm-cld7"),
+]
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference mount absent")
+@pytest.mark.parametrize("name,inp,cld", CASES,
+                         ids=[c[0] for c in CASES])
+def test_golden_structure(name, inp, cld):
+    from rrtmg_lw_tpu.cli import run_files
+    from rrtmg_lw_tpu.io.golden import compare_outputs, parse_output_rrtm
+
+    out = pathlib.Path(tempfile.mkdtemp(prefix="golden_")) / name
+    run_files(REF / inp, out, cld_path=REF / cld if cld else None,
+              nmca=2)
+    gold = REF / f"output_rrtm_{name}"
+    # raises on block/level count mismatch
+    diffs = compare_outputs(out, gold)
+    assert diffs["pz"] == 0.0, f"level pressures differ: {diffs['pz']}"
+    ours, ref = parse_output_rrtm(out), parse_output_rrtm(gold)
+    for a, b in zip(ours, ref):
+        assert (a.wavenum1, a.wavenum2) == (b.wavenum1, b.wavenum2)
+        assert (a.level == b.level).all()
