@@ -283,7 +283,13 @@ class TaumolEngine:
             chi_row = jnp.asarray(self.chi[gi], dtype=self.dtype)
             chiref = jnp.take(chi_row, sc.jp + 1)   # chi_mls(gas, jp+1)
         ratio = 1.0e20 * chi_gas / chiref
-        adjfac = adj.base + jnp.maximum(ratio - adj.base, 0.0) ** adj.expnt
+        # double-where: the fractional power's VJP is inf at a clamped
+        # 0 base (0**(expnt-1)), and inf*0 = NaN would leak through a
+        # single where/maximum into every d(tau)/d(input) (the branch
+        # is only taken when ratio > threshold > base, so the safe
+        # operand never changes the primal)
+        excess = jnp.where(ratio > adj.threshold, ratio - adj.base, 1.0)
+        adjfac = adj.base + excess ** adj.expnt
         adjcol = adjfac * chiref * prof.coldry * 1.0e-20
         return jnp.where(ratio > adj.threshold, adjcol, colgas)
 
