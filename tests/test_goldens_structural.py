@@ -22,26 +22,31 @@ REF = pathlib.Path("/root/reference/run_examples_std_atm")
 
 # one per major driver path: clear iout=99 (RRTATM MLS + per-band
 # blocks), deterministic max-random overlap (rtrnmr + cldprop deck),
-# McICA exponential overlap (MT RNG + get_alpha)
+# McICA exponential overlap (MT RNG + get_alpha), CFC/CCl4 cross
+# sections, boundary-layer aerosol deck, surface-dT derivative
 CASES = [
-    ("MLS-clr", "input_rrtm_MLS-clr", None),
+    ("MLS-clr", "input_rrtm_MLS-clr", None, None),
     ("MLS-cld5-imca0-icld2", "input_rrtm_MLS-cld-imca0-icld2",
-     "in_cld_rrtm-cld5"),
+     "in_cld_rrtm-cld5", None),
     ("MLS-cld7-imca1-icld4-idcor0",
-     "input_rrtm_MLS-cld-imca1-icld4-idcor0", "in_cld_rrtm-cld7"),
+     "input_rrtm_MLS-cld-imca1-icld4-idcor0", "in_cld_rrtm-cld7", None),
+    ("MLS-clr-xsec", "input_rrtm_MLS-clr-xsec", None, None),
+    ("MLS-clr-aer12", "input_rrtm_MLS-clr-aer12", None,
+     "in_aer_rrtm-aer12"),
+    ("MLS-clr-idrv1", "input_rrtm_MLS-clr-idrv1", None, None),
 ]
 
 
 @pytest.mark.skipif(not REF.exists(), reason="reference mount absent")
-@pytest.mark.parametrize("name,inp,cld", CASES,
+@pytest.mark.parametrize("name,inp,cld,aer", CASES,
                          ids=[c[0] for c in CASES])
-def test_golden_structure(name, inp, cld):
+def test_golden_structure(name, inp, cld, aer):
     from rrtmg_lw_tpu.cli import run_files
     from rrtmg_lw_tpu.io.golden import compare_outputs, parse_output_rrtm
 
     out = pathlib.Path(tempfile.mkdtemp(prefix="golden_")) / name
     run_files(REF / inp, out, cld_path=REF / cld if cld else None,
-              nmca=2)
+              aer_path=REF / aer if aer else None, nmca=2)
     gold = REF / f"output_rrtm_{name}"
     # raises on block/level count mismatch
     diffs = compare_outputs(out, gold)
