@@ -86,3 +86,34 @@ def test_sharded_compact_clouds(use_shard_map):
     np.testing.assert_allclose(np.asarray(out.uflx),
                                np.asarray(ref.uflx), rtol=1e-12)
     assert not out.uflx.sharding.is_fully_replicated
+
+
+def test_mesh_global_metrics():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = par.make_mesh(jax.devices()[:8], spec=1)
+    cfg = LWConfig(icld=0, dtype="float64")
+    B, L = 16, 31
+    atm = make_atmosphere(ncol=B, nlay=L)
+    model = make_model(cfg)
+    step = par.make_sharded_step(model, mesh)
+    fl = step(par.shard_batch(atm, mesh))
+
+    metrics = par.make_metrics_fn(mesh)(fl)
+    # replicated scalars, consistent with a host-side reduction
+    assert metrics["olr_mean"].sharding.is_fully_replicated
+    ref = model(atm)
+    np.testing.assert_allclose(float(metrics["olr_mean"]),
+                               float(np.asarray(ref.uflx)[:, -1].mean()),
+                               rtol=1e-12)
+    assert float(metrics["ncol"]) == B
+    assert float(metrics["olr_min"]) <= float(metrics["olr_max"])
+
+    # validation norms against a perturbed reference
+    fl2 = step(par.shard_batch(atm._replace(tsfc=atm.tsfc + 1.0), mesh))
+    norms = par.make_metrics_fn(mesh, with_reference=True)(fl, fl2)
+    expect = float(np.abs(np.asarray(ref.uflx)
+                          - np.asarray(fl2.uflx)).max())
+    np.testing.assert_allclose(float(norms["uflx_maxabs"]), expect,
+                               rtol=1e-9)
+    assert float(norms["hr_maxabs"]) >= 0.0
