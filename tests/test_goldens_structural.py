@@ -30,6 +30,8 @@ CASES = [
      "in_cld_rrtm-cld5", None),
     ("MLS-cld7-imca1-icld4-idcor0",
      "input_rrtm_MLS-cld-imca1-icld4-idcor0", "in_cld_rrtm-cld7", None),
+    ("MLS-cld7-imca1-icld5-idcor1",
+     "input_rrtm_MLS-cld-imca1-icld5-idcor1", "in_cld_rrtm-cld7", None),
     ("MLS-clr-xsec", "input_rrtm_MLS-clr-xsec", None, None),
     ("MLS-clr-aer12", "input_rrtm_MLS-clr-aer12", None,
      "in_aer_rrtm-aer12"),
