@@ -45,6 +45,8 @@ def main():
     from rrtmg_lw_tpu.utils.synthetic import make_atmosphere
 
     dtype = "float32" if jax.default_backend() == "tpu" else "float64"
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     model = make_model(LWConfig(icld=0, idrv=1, use_lut=False,
                                 dtype=dtype))
     atm = make_atmosphere(ncol=args.ncol, nlay=args.nlay,

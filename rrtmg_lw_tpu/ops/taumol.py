@@ -285,9 +285,10 @@ class TaumolEngine:
         ratio = 1.0e20 * chi_gas / chiref
         # double-where: the fractional power's VJP is inf at a clamped
         # 0 base (0**(expnt-1)), and inf*0 = NaN would leak through a
-        # single where/maximum into every d(tau)/d(input) (the branch
-        # is only taken when ratio > threshold > base, so the safe
-        # operand never changes the primal)
+        # single where/maximum into every d(tau)/d(input).  The safe
+        # operand never changes the primal because every Adj record
+        # has threshold >= base (band 7 lower has equality), so the
+        # taken branch strictly satisfies ratio - base > 0.
         excess = jnp.where(ratio > adj.threshold, ratio - adj.base, 1.0)
         adjfac = adj.base + excess ** adj.expnt
         adjcol = adjfac * chiref * prof.coldry * 1.0e-20

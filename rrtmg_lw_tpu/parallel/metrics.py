@@ -68,9 +68,5 @@ def make_metrics_fn(mesh, with_reference: bool = False):
         def fn(fl):
             return flux_stats(fl)
 
-    return jax.jit(fn, out_shardings=jax.tree_util.tree_map(
-        lambda _: rep, {k: None for k in (
-            ["ncol", "olr_mean", "olr_min", "olr_max", "sfc_dflx_mean",
-             "col_divergence_mean", "hr_min", "hr_max"]
-            + (["uflx_maxabs", "dflx_maxabs", "hr_maxabs", "uflx_rms"]
-               if with_reference else []))}))
+    # a single sharding broadcasts to every output leaf
+    return jax.jit(fn, out_shardings=rep)

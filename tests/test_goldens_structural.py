@@ -44,16 +44,16 @@ CASES = [
                          ids=[c[0] for c in CASES])
 def test_golden_structure(name, inp, cld, aer):
     from rrtmg_lw_tpu.cli import run_files
-    from rrtmg_lw_tpu.io.golden import compare_outputs, parse_output_rrtm
+    from rrtmg_lw_tpu.io.golden import parse_output_rrtm
 
     out = pathlib.Path(tempfile.mkdtemp(prefix="golden_")) / name
     run_files(REF / inp, out, cld_path=REF / cld if cld else None,
               aer_path=REF / aer if aer else None, nmca=2)
     gold = REF / f"output_rrtm_{name}"
-    # raises on block/level count mismatch
-    diffs = compare_outputs(out, gold)
-    assert diffs["pz"] == 0.0, f"level pressures differ: {diffs['pz']}"
     ours, ref = parse_output_rrtm(out), parse_output_rrtm(gold)
+    assert len(ours) == len(ref), "block count differs"
     for a, b in zip(ours, ref):
         assert (a.wavenum1, a.wavenum2) == (b.wavenum1, b.wavenum2)
+        assert len(a.level) == len(b.level), "level count differs"
         assert (a.level == b.level).all()
+        assert (a.pz == b.pz).all(), "level pressures differ"
