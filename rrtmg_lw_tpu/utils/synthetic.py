@@ -25,10 +25,11 @@ def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64,
     IN_AER_RRTM examples put 12 layers of per-band AOD near the
     surface)."""
     rng = np.random.default_rng(seed)
-    # sigma-coordinate pressure levels, surface ~1013 mb to ~0.03 mb
+    # sigma-coordinate pressure levels, surface ~1013 mb to 0.03 mb;
+    # the top is reached exactly (no clamp: a floor would collapse the
+    # topmost layers to zero thickness at large nlay -> coldry = 0)
     lev = np.linspace(0, 1, nlay + 1)
-    plev = 1013.0 * np.exp(-10.5 * lev ** 1.15)
-    plev = np.maximum(plev, 0.03)
+    plev = 1013.0 * (0.03 / 1013.0) ** (lev ** 1.15)
     plev = np.broadcast_to(plev, (ncol, nlay + 1)).copy()
     plev *= (1.0 + 0.02 * rng.standard_normal((ncol, 1)))
     play = 0.5 * (plev[:, :-1] + plev[:, 1:])

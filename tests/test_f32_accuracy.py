@@ -31,3 +31,17 @@ def test_f32_within_contract(icld):
     assert np.abs(np.asarray(a.uflx) - np.asarray(b.uflx)).max() < 5e-3
     assert np.abs(np.asarray(a.dflx) - np.asarray(b.dflx)).max() < 5e-3
     assert np.abs(np.asarray(a.hr) - np.asarray(b.hr)).max() < 0.05
+
+
+def test_deep_profiles_finite():
+    """mxlay parity: the reference supports up to 603 layers
+    (parrrtm.f90:31); the pipeline must stay finite at that depth
+    (regression: the synthetic generator's old 0.03 mb pressure floor
+    collapsed top layers to zero thickness at large nlay)."""
+    for L in (140, 603):
+        atm = make_atmosphere(ncol=2, nlay=L)
+        clouds = make_mcica_clouds(ncol=2, nlay=L)
+        fl = make_model(LWConfig(icld=2, imca=1))(atm, clouds)
+        assert np.isfinite(np.asarray(fl.uflx)).all(), L
+        assert np.isfinite(np.asarray(fl.hr)).all(), L
+        assert (np.diff(np.asarray(atm.plev), axis=1) < 0.0).all(), L
