@@ -5,9 +5,11 @@ Reimplements the reference's input processing for IATM=0 layer input:
 ``readcld`` (:1152-1209), ``readaer`` (:1211-1294) and ``xsident``
 (:1296-1363).  Record layouts per doc/rrtmg_lw_instructions.txt:58-960.
 
-The RRTATM standard-atmosphere builder (IATM=1) lives in
-rrtmg_lw_tpu.io.rrtatm; none of the reference's shipped example decks
-use it (they all carry explicit layer data), but MODEL 1-6 profiles are
+The RRTATM atmosphere builder (IATM=1) lives in
+rrtmg_lw_tpu.io.rrtatm and is routed to below when record 1.2 sets
+IATM!=0 — which all of the reference's shipped example decks do (e.g.
+input_rrtm_MLS-clr uses MODEL=2 built-in layering, ICRCCM_sonde a
+user-supplied profile through RDUNIT).  MODEL 1-6 profiles are also
 exposed there for programmatic use.
 """
 

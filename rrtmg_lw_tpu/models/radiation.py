@@ -33,6 +33,10 @@ from ..ops.taumol import TaumolEngine
 from ..types import (Atmosphere, BandClouds, Fluxes, McicaClouds,
                      McicaCloudsBlocked, McicaCloudsCompact, Profile)
 
+# "not passed" marker for per-call spec_constraint (None is meaningful:
+# it explicitly disables the spectral partition).
+_UNSET = object()
+
 
 class RRTMGLW:
     """Holds the static k-tables / lookup tables and exposes jittable
@@ -74,8 +78,10 @@ class RRTMGLW:
             self.static[k] = jnp.asarray(self.static_np[k], dtype)
         self.heatfac = heatfac(config.cpdair)
         self.ngb0 = np.asarray(self.static_np["ngb"]) - 1   # band of g
-        # Optional NamedSharding for the (B, L, G) spectral intermediates;
-        # set by parallel.api to partition g-points across a mesh axis.
+        # Default NamedSharding for the (B, L, G) spectral intermediates
+        # (partitions g-points across a mesh axis).  Prefer passing
+        # ``spec_constraint=`` per call (parallel.api does) so one model
+        # instance can serve several meshes without cross-contamination.
         self.spec_constraint = None
 
     # ------------------------------------------------------------------
@@ -95,18 +101,27 @@ class RRTMGLW:
         return gsel
 
     def __call__(self, atm: Atmosphere,
-                 clouds: Union[None, McicaClouds, BandClouds] = None
-                 ) -> Fluxes:
+                 clouds: Union[None, McicaClouds, BandClouds] = None,
+                 *, spec_constraint=_UNSET) -> Fluxes:
         cfg = self.config
         dtype = cfg.jdtype
         prof = inatm(atm, dtype=dtype)
-        return self.from_profile(prof, clouds)
+        return self.from_profile(prof, clouds,
+                                 spec_constraint=spec_constraint)
 
     def from_profile(self, prof: Profile,
-                     clouds: Union[None, McicaClouds, BandClouds] = None
-                     ) -> Fluxes:
+                     clouds: Union[None, McicaClouds, BandClouds] = None,
+                     *, spec_constraint=_UNSET) -> Fluxes:
         """Run the radiation from an already-processed Profile (column
-        mode enters here)."""
+        mode enters here).
+
+        ``spec_constraint``: NamedSharding for the (g, L, B) spectral
+        intermediates, or None.  Defaults to ``self.spec_constraint``;
+        passing it explicitly (as parallel.api does) scopes the
+        partitioning to this call instead of mutating shared state.
+        """
+        if spec_constraint is _UNSET:
+            spec_constraint = self.spec_constraint
         cfg = self.config
         dtype = cfg.jdtype
         B, L = prof.pavel.shape
@@ -130,7 +145,7 @@ class RRTMGLW:
         # blocked: taumol emits the RT kernel's padded (L, G_pad, B)
         # block layout directly — zero relayout between the two kernels
         blocked = (native and len(gsel) == 140
-                   and self.spec_constraint is None
+                   and spec_constraint is None
                    and hasattr(self.engine, "supports_blocked")
                    and self.engine.supports_blocked(B, L))
         planck_b = False
@@ -163,20 +178,20 @@ class RRTMGLW:
             if len(gsel) != taut.shape[0]:
                 taut = taut[gsel]
                 fracs = fracs[gsel]
-            if self.spec_constraint is not None:
+            if spec_constraint is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
                 from ..parallel.mesh import COLUMNS, SPEC
-                nat = NamedSharding(self.spec_constraint.mesh,
+                nat = NamedSharding(spec_constraint.mesh,
                                     PartitionSpec(SPEC, None, COLUMNS))
                 taut = jax.lax.with_sharding_constraint(taut, nat)
                 fracs = jax.lax.with_sharding_constraint(fracs, nat)
         else:
             sc, taut, fracs = self.optical_depth(prof, istart=cfg.istart)
-            if self.spec_constraint is not None:
+            if spec_constraint is not None:
                 taut = jax.lax.with_sharding_constraint(
-                    taut, self.spec_constraint)
+                    taut, spec_constraint)
                 fracs = jax.lax.with_sharding_constraint(
-                    fracs, self.spec_constraint)
+                    fracs, spec_constraint)
             if len(gsel) != taut.shape[-1]:
                 taut = taut[..., gsel]
                 fracs = fracs[..., gsel]

@@ -47,13 +47,13 @@ def make_sharded_step(model, mesh, donate: bool = False,
         use_shard_map = (getattr(model, "rt_pallas", False)
                          and mesh.shape[SPEC] == 1)
     if use_shard_map:
-        model.spec_constraint = None
 
         def step(atm, clouds=None):
             in_specs = (_pspecs_for(atm, mesh),
                         _pspecs_for(clouds, mesh))
             f = jax.shard_map(
-                lambda a, c: model(a, c), mesh=mesh,
+                lambda a, c: model(a, c, spec_constraint=None),
+                mesh=mesh,
                 in_specs=in_specs, out_specs=P(COLUMNS),
                 check_vma=False)
             return f(atm, clouds)
@@ -61,11 +61,12 @@ def make_sharded_step(model, mesh, donate: bool = False,
         return jax.jit(step, out_shardings=bs,
                        donate_argnums=(0,) if donate else ())
 
-    model.spec_constraint = (
-        spec_sharding(mesh) if mesh.shape[SPEC] > 1 else None)
+    # Call-scoped (not a model mutation): the same model instance can
+    # serve steps compiled for several meshes concurrently.
+    spec_c = spec_sharding(mesh) if mesh.shape[SPEC] > 1 else None
 
     def step(atm, clouds=None):
-        return model(atm, clouds)
+        return model(atm, clouds, spec_constraint=spec_c)
 
     return jax.jit(step, out_shardings=bs,
                    donate_argnums=(0,) if donate else ())
@@ -78,15 +79,14 @@ def make_sharded_grad_step(model, mesh, loss_fn=None):
     squared (exercises the full backward pass through taumol + scans).
     """
     bs = batch_sharding(mesh)
-    model.spec_constraint = (
-        spec_sharding(mesh) if mesh.shape[SPEC] > 1 else None)
+    spec_c = spec_sharding(mesh) if mesh.shape[SPEC] > 1 else None
     if loss_fn is None:
         def loss_fn(fl):
             return (fl.hr ** 2).mean() + (fl.uflx[:, -1] ** 2).mean()
 
     def step(atm, clouds=None):
         def obj(a):
-            return loss_fn(model(a, clouds))
+            return loss_fn(model(a, clouds, spec_constraint=spec_c))
         loss, g = jax.value_and_grad(obj)(atm)
         return loss, g
 
