@@ -36,8 +36,12 @@ def _ensure_f64():
 NMCA = 200     # rrtmg_lw.1col.f90:460
 
 
-def run_case(case, iplon: int = 1, nmca: int = NMCA):
-    """Run one parsed ColumnCase; returns list of formatted output blocks."""
+def run_case(case, iplon: int = 1, nmca: int = NMCA,
+             return_raw: bool = False):
+    """Run one parsed ColumnCase; returns list of formatted output
+    blocks (and, with ``return_raw``, the unformatted per-block flux
+    arrays — used by tests/test_cli_vs_oracle.py to pin the CLI's
+    values against the scalar spec-oracle at full precision)."""
     _ensure_f64()
     import jax.numpy as jnp
 
@@ -110,8 +114,9 @@ def run_case(case, iplon: int = 1, nmca: int = NMCA):
     from .io.column_output import format_flux_table
 
     blocks = []
+    raws = []
     if case.iout < 0:
-        return blocks
+        return (blocks, raws) if return_raw else blocks
     iout = case.iout
     iflag = iout
     models = {}
@@ -128,10 +133,12 @@ def run_case(case, iplon: int = 1, nmca: int = NMCA):
         fnet = uflx - dflx
         blocks.append(format_flux_table(istart, iend, iplon, case.pz,
                                         uflx, dflx, fnet, htr))
+        raws.append(dict(istart=istart, iend=iend, uflx=uflx, dflx=dflx,
+                         fnet=fnet, htr=htr))
         if iout <= 40 or iflag == 16:
             break
         iflag = 1 if iflag == 99 else iflag + 1
-    return blocks
+    return (blocks, raws) if return_raw else blocks
 
 
 def _static():
