@@ -140,14 +140,19 @@ class RRTMGLW:
             from ..ops import rtrn_pallas as _rtp
             rtmr_pallas = _rtp.maxrand_supported(L, len(gsel),
                                                  idrv=cfg.idrv)
-        native = (self.rt_pallas and (not uses_rtmr or rtmr_pallas)
-                  and hasattr(self.engine, "forward_native"))
+        blocked_ok = (len(gsel) == 140
+                      and spec_constraint is None
+                      and hasattr(self.engine, "supports_blocked")
+                      and self.engine.supports_blocked(B, L))
+        # The Pallas rtrnmr sweep only exists in the blocked layout, so
+        # rtmr may go native only when blocked is available too — else
+        # native-layout taut would reach the XLA rt_maxrandom, which
+        # consumes (B, L, G).
+        native = (self.rt_pallas and hasattr(self.engine, "forward_native")
+                  and (not uses_rtmr or (rtmr_pallas and blocked_ok)))
         # blocked: taumol emits the RT kernel's padded (L, G_pad, B)
         # block layout directly — zero relayout between the two kernels
-        blocked = (native and len(gsel) == 140
-                   and spec_constraint is None
-                   and hasattr(self.engine, "supports_blocked")
-                   and self.engine.supports_blocked(B, L))
+        blocked = native and blocked_ok
         planck_b = False
         planck_args = None
         win_ok = None

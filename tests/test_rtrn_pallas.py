@@ -462,3 +462,34 @@ def test_nonresident_chunked_path():
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(np.asarray(got), a,
                                    atol=2e-6 * scale, err_msg=name)
+
+
+def test_model_maxrand_unaligned_batch_dispatch(monkeypatch):
+    """Regression: icld=2 imca=0 with the Pallas RT path at a batch the
+    blocked taumol layout does NOT support (B not tile-aligned) must
+    fall back to the (B, L, G) XLA rtrnmr — previously the model ran
+    taumol native (G, L, B) and fed that layout to rt_maxrandom, which
+    raised a broadcast error.  Run the full model with every
+    pallas_call interpreted and compare against the all-XLA model."""
+    from jax.experimental import pallas as _pl
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_band_clouds)
+    orig_call = _pl.pallas_call
+    monkeypatch.setattr(
+        _pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    B, L = 8, 43
+    atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32)
+    bc = make_band_clouds(ncol=B, nlay=L, dtype=jnp.float32)
+    kw = dict(icld=2, imca=0, inflag=2, iceflag=3, liqflag=1,
+              dtype="float32", use_lut=False)
+    mp = make_model(LWConfig(taumol_impl="pallas", rt_impl="pallas",
+                             **kw))
+    mx = make_model(LWConfig(taumol_impl="xla", rt_impl="xla", **kw))
+    fp = mp(atm, bc)
+    fx = mx(atm, bc)
+    for name in ("uflx", "dflx", "uflxc", "dflxc"):
+        a = np.asarray(getattr(fx, name))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(getattr(fp, name)), a,
+                                   atol=2e-5 * scale, err_msg=name)

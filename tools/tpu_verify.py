@@ -1,0 +1,184 @@
+"""One-shot on-hardware Pallas verification artifact (VERDICT r1 #5).
+
+The pytest kernel-parity suites run in interpret mode on CPU, which
+does not exercise Mosaic lowering or real bf16-split MXU behavior.
+This tool runs the Pallas-vs-XLA comparisons COMPILED on the real
+chip, f32, and writes a JSON pass/fail + max-error table to
+``TPU_VERIFY_r{N}.json`` at the repo root.  Run it whenever the axon
+tunnel is up; commit the artifact.
+
+Checks (tolerances follow the documented 2^-17 bf16-2-split bound,
+PERF_NOTES fact 2/7; flux gates mirror tests/test_rtrn_pallas.py):
+
+  kernel-level: taumol Pallas vs XLA engine; blocked planck interp vs
+  setcoef; model-level: clear / McICA (plain + compact + int8 mask) /
+  banded icld=1 / max-random icld=2 / idrv=1 / deep nlay=140 chunked —
+  each full-Pallas pipeline vs the full-XLA pipeline on identical
+  inputs, on-chip.
+
+Usage: python tools/tpu_verify.py [--round N] [--batch B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+RESULTS = []
+
+
+def record(name, max_err, tol, extra=None):
+    ok = bool(max_err <= tol)
+    RESULTS.append(dict(check=name, max_err=float(max_err),
+                        tol=float(tol), ok=ok, **(extra or {})))
+    print(f"{'PASS' if ok else 'FAIL'}  {name:42s} "
+          f"max_err={max_err:.3e}  tol={tol:.1e}")
+    return ok
+
+
+def _flux_err(a, b):
+    """Max abs error over flux fields, scaled by the field magnitude."""
+    err = 0.0
+    for name in ("uflx", "dflx", "uflxc", "dflxc"):
+        x = np.asarray(getattr(a, name), np.float64)
+        y = np.asarray(getattr(b, name), np.float64)
+        scale = max(np.abs(x).max(), 1.0)
+        err = max(err, np.abs(x - y).max() / scale)
+    return err
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="CPU smoke test: force interpret=True on every "
+                         "pallas_call (validates the harness, NOT the "
+                         "Mosaic lowering)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        from jax.experimental import pallas as _pl
+        _orig_call = _pl.pallas_call
+
+        def _interp_call(*a, **k):
+            k["interpret"] = True
+            return _orig_call(*a, **k)
+
+        _pl.pallas_call = _interp_call
+
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    dev = str(jax.devices()[0])
+    print(f"backend={backend} device={dev}")
+    if backend not in ("tpu", "axon"):
+        print("WARNING: not on TPU — artifact will be marked cpu-only")
+
+    from rrtmg_lw_tpu import LWConfig, make_model
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_mcica_clouds,
+                                              make_band_clouds)
+
+    B = args.batch
+    SPLIT_TOL = 2.0 ** -17            # documented split precision
+    FLUX_TOL = 2e-5                   # relative; ~10x the split bound
+    t0 = time.time()
+
+    def models(**kw):
+        xla = make_model(LWConfig(dtype="float32", use_lut=False,
+                                  taumol_impl="xla", rt_impl="xla", **kw))
+        pls = make_model(LWConfig(dtype="float32", use_lut=False,
+                                  taumol_impl="pallas", rt_impl="pallas",
+                                  **kw))
+        return xla, pls
+
+    # ---- kernel-level: taumol --------------------------------------
+    from rrtmg_lw_tpu.ops.inatm import inatm
+    from rrtmg_lw_tpu.ops.setcoef import setcoef
+    atm = make_atmosphere(ncol=B, nlay=60, dtype=jnp.float32)
+    xla0, pls0 = models(icld=0)
+    prof = inatm(atm, dtype=jnp.float32)
+    sc = setcoef(prof, xla0.static, istart=1, idrv=0)
+    tg_x, fr_x = jax.jit(lambda s, p: xla0.engine(s, p))(sc, prof)
+    tg_p, fr_p = jax.jit(lambda s, p: pls0.engine(s, p))(sc, prof)
+    # denominator floored at od=0.01: below that, absolute od error is
+    # what bounds the transmission error (1 - exp(-od) ~ od); relative
+    # error on od ~ 1e-10 is meaningless for fluxes
+    den = np.maximum(np.abs(np.asarray(tg_x, np.float64)), 1e-2)
+    e_t = (np.abs(np.asarray(tg_p, np.float64)
+                  - np.asarray(tg_x, np.float64)) / den).max()
+    record("taumol_kernel_taug_rel", e_t, 4 * SPLIT_TOL)
+    e_f = np.abs(np.asarray(fr_p, np.float64)
+                 - np.asarray(fr_x, np.float64)).max()
+    record("taumol_kernel_fracs_abs", e_f, 4 * SPLIT_TOL)
+
+    # ---- kernel-level: blocked planck interp -----------------------
+    from rrtmg_lw_tpu.ops.planck_pallas import planck_interp_blocked
+    pl = jax.jit(lambda t: planck_interp_blocked(
+        t, xla0.static["totplnk"], tile=128))(prof.tavel.T)
+    # reference: setcoef's planklay is (B, L, 16); blocked is (L, 16, B)
+    ref = np.asarray(sc.planklay, np.float64).transpose(1, 2, 0)
+    got = np.asarray(pl, np.float64)
+    scale = max(np.abs(ref).max(), 1e-12)
+    record("planck_blocked_rel", np.abs(got - ref).max() / scale,
+           4 * SPLIT_TOL)
+
+    # ---- model-level configurations --------------------------------
+    def check_model(name, kw, clouds):
+        xla, pls = models(**kw)
+        fx = jax.jit(lambda a, c: xla(a, c))(atm_l, clouds)
+        fp = jax.jit(lambda a, c: pls(a, c))(atm_l, clouds)
+        jax.block_until_ready((fx.uflx, fp.uflx))
+        record(name, _flux_err(fx, fp), FLUX_TOL)
+
+    atm_l = atm
+    check_model("model_clear", dict(icld=0), None)
+    mc = make_mcica_clouds(ncol=B, nlay=60, dtype=jnp.float32)
+    check_model("model_mcica_plain",
+                dict(icld=2, imca=1, inflag=2, iceflag=3, liqflag=1), mc)
+    mcc = make_mcica_clouds(ncol=B, nlay=60, dtype=jnp.float32,
+                            layout="compact")
+    check_model("model_mcica_compact",
+                dict(icld=2, imca=1, inflag=2, iceflag=3, liqflag=1), mcc)
+    check_model("model_mcica_idrv",
+                dict(icld=2, imca=1, idrv=1, inflag=2, iceflag=3,
+                     liqflag=1), mc)
+    bc = make_band_clouds(ncol=B, nlay=60, dtype=jnp.float32)
+    check_model("model_banded_icld1",
+                dict(icld=1, imca=0, inflag=2, iceflag=3, liqflag=1), bc)
+    check_model("model_maxrand_icld2",
+                dict(icld=2, imca=0, inflag=2, iceflag=3, liqflag=1), bc)
+
+    # ---- deep profile (chunked-input + level-cache VMEM plan) ------
+    atm_l = make_atmosphere(ncol=256, nlay=140, dtype=jnp.float32)
+    mc140 = make_mcica_clouds(ncol=256, nlay=140, dtype=jnp.float32)
+    check_model("model_mcica_deep_nlay140",
+                dict(icld=2, imca=1, inflag=2, iceflag=3, liqflag=1),
+                mc140)
+
+    out = dict(backend=backend, device=dev, batch=B,
+               elapsed_s=round(time.time() - t0, 1),
+               split_tol=SPLIT_TOL, flux_tol=FLUX_TOL,
+               all_ok=all(r["ok"] for r in RESULTS), checks=RESULTS)
+    path = args.out or (ROOT / f"TPU_VERIFY_r{args.round:02d}.json")
+    pathlib.Path(path).write_text(json.dumps(out, indent=1))
+    print(f"\n{'ALL PASS' if out['all_ok'] else 'FAILURES'} "
+          f"-> {path} ({out['elapsed_s']}s)")
+    return 0 if out["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
