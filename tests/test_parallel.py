@@ -1,5 +1,7 @@
 """Sharded execution == single-device execution; driver entry points run."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -117,3 +119,62 @@ def test_mesh_global_metrics():
     np.testing.assert_allclose(float(norms["uflx_maxabs"]), expect,
                                rtol=1e-9)
     assert float(norms["hr_maxabs"]) >= 0.0
+
+
+def test_two_process_distributed_mesh(tmp_path):
+    """VERDICT r1 #7: the sharded step + metrics collectives must
+    survive a process boundary.  Two fresh processes x 4 virtual CPU
+    devices form one 8-device (columns, spec=2) mesh over
+    jax.distributed (Gloo collectives); each worker feeds its
+    host-local column shard, runs the jitted step, and dumps its
+    addressable output shards + the replicated metrics.  The parent
+    checks every shard against a single-process reference run and that
+    both processes agree on the metrics bitwise."""
+    import subprocess
+    import sys as _sys
+    import pathlib as _pl
+
+    worker = _pl.Path(__file__).parent / "mp_worker.py"
+    port = "12973"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), str(i), "2", port, str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=str(_pl.Path(__file__).parent.parent), env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    d0 = np.load(tmp_path / "proc0.npz")
+    d1 = np.load(tmp_path / "proc1.npz")
+    # replicated metrics identical across processes
+    for k in d0.files:
+        if k.startswith("metric_"):
+            np.testing.assert_array_equal(d0[k], d1[k], err_msg=k)
+
+    # single-process reference on the identical global batch
+    from rrtmg_lw_tpu import LWConfig, make_model
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_mcica_clouds)
+    B, L = 16, 26
+    model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
+                                use_lut=False))
+    atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32)
+    clouds = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32)
+    ref = np.asarray(model(atm, clouds).uflx)
+
+    covered = np.zeros(B, bool)
+    for d in (d0, d1):
+        for k in d.files:
+            if k.endswith("_rows"):
+                i = k[: -len("_rows")]
+                lo, hi = d[k]
+                np.testing.assert_allclose(
+                    d[f"{i}_uflx"], ref[lo:hi], rtol=2e-6,
+                    err_msg=f"{i} rows {lo}:{hi}")
+                covered[lo:hi] = True
+    assert covered.all()
+    np.testing.assert_allclose(
+        float(d0["metric_olr_mean"]), ref[:, -1].mean(), rtol=1e-5)
