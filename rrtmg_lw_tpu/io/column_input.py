@@ -5,12 +5,13 @@ Reimplements the reference's input processing for IATM=0 layer input:
 ``readcld`` (:1152-1209), ``readaer`` (:1211-1294) and ``xsident``
 (:1296-1363).  Record layouts per doc/rrtmg_lw_instructions.txt:58-960.
 
-The RRTATM atmosphere builder (IATM=1) lives in
-rrtmg_lw_tpu.io.rrtatm and is routed to below when record 1.2 sets
-IATM!=0 — which all of the reference's shipped example decks do (e.g.
-input_rrtm_MLS-clr uses MODEL=2 built-in layering, ICRCCM_sonde a
-user-supplied profile through RDUNIT).  MODEL 1-6 profiles are also
-exposed there for programmatic use.
+The RRTATM atmosphere builder lives in rrtmg_lw_tpu.io.rrtatm and is
+routed to below when record 1.2 sets IATM=1.  Of the reference's
+shipped decks exactly one uses it — input_rrtm_ICRCCM_sonde (a
+user-supplied profile through RDUNIT records 3.4-3.6); the 12 others
+carry explicit layer data (IATM=0, records 2.1.1-2.1.3), having been
+*generated* with RRTATM MODEL atmospheres offline.  MODEL 1-6 profiles
+and AUTLAY layering are exposed in rrtatm for programmatic use.
 """
 
 from __future__ import annotations
@@ -35,6 +36,10 @@ _XS_ALIASES = {
     "CCL2F2": 3, "CF2CL2": 3, "CFC12": 3, "F12": 3,
     "CHCLF2": 4, "CHF2CL": 4, "CFC22": 4, "F22": 4,
 }
+
+# IATM=1 path: XSREAD's master-list index -> RRTMG slot
+# (data ixtrans /0,0,0,1,2,3,0,0,0,0,0,4,0,0/, rrtmg_lw.1col.f90:887)
+_IXTRANS = {4: 1, 5: 2, 6: 3, 12: 4}
 
 
 @dataclasses.dataclass
@@ -153,7 +158,14 @@ def read_input_rrtm(path, cld_path=None, aer_path=None) -> ColumnCase:
         wbrodl = res.wn2l
         if case.icld in (4, 5) and case.idcor == 1:
             case.lat = res.ref_lat        # :947 (iatm=1 -> ref_lat)
-        nxmol0, ixindx, wx0 = 0, [], None
+        if case.ixsect == 1 and res.nxmol:
+            # ixindx = ixtrans(ixindx0): master-list index -> RRTMG
+            # slot (rrtmg_lw.1col.f90:887,1004-1006); wx0 = XAMNT
+            nxmol0 = res.nxmol
+            ixindx = [_IXTRANS.get(m, 0) for m in res.ixindx]
+            wx0 = res.xamnt
+        else:
+            nxmol0, ixindx, wx0 = 0, [], None
         return _finish_case(case, nlayers, nmol, pavel, tavel, pz, tz,
                             altz, wkl_in, wbrodl, nxmol0, ixindx, wx0,
                             clouds, tauaer16)

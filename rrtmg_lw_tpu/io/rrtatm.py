@@ -27,9 +27,17 @@ generality of LBLATM collapses to vertical quadrature.  Implemented:
     steps (``ALAYER`` rrtatm.f:5253-5495 at SINAI=0), and layer packing
     (``FPACK`` rrtatm.f:5805-5981)
 
-Not implemented (none of the reference's shipped examples reach them):
-automatic layering (``AUTLAY``, IBMAX=0), cross-section profiles with
-IATM=1 (``XAMNTS``), slant/limb geometry.
+  * automatic layer-boundary selection (``AUTLAY``, IBMAX=0,
+    rrtatm.f:5496-5605 with ``HALFWD`` :5713-5745)
+  * cross-section molecule profiles with IATM=1 (``XAMNTS``
+    rrtatm.f:6089-6591, ``XPROFL``/``XTRACT``/``XINTRP`` :6595-7004,
+    standard profiles from BLOCK DATA XMLATM :7008-, name matching per
+    ``XSREAD`` extra.f:5-123)
+
+Not implemented (no vertical-path input can reach it): slant/limb
+geometry — the driver hard-forces ITYPE=2 with ANGLE=0 at
+rrtatm.f:581-583, so RFPATH's refractive ray-trace is dead code for
+every RRTM column run; see PARITY.md.
 
 Reference-compatibility note — the AIRMWT quirk: in the reference build
 the dry-air molecular weight ``AIRMWT`` lives in COMMON /CONSTS/ but is
@@ -54,7 +62,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..constants import ALOSMT, AVOGAD, GASCON, GRAV, PI
+from ..constants import ALOSMT, AVOGAD, CLIGHT, GASCON, GRAV, PI
 from .fortran_format import ffloat, fint, fstr
 
 PZERO = 1013.25
@@ -287,6 +295,289 @@ class Profile:
     denm: np.ndarray         # (nmol, n) number densities cm-3
     denw: np.ndarray         # (n,) water cm-3
     hmod: str = ""
+    dryair: Optional[np.ndarray] = None      # (n,) dry air cm-3 (/DEAMT/)
+
+
+# ---------------------------------------------------------------------------
+# AUTLAY — automatic layer-boundary selection (IBMAX=0)
+# ---------------------------------------------------------------------------
+
+# HALFWD constants (rrtatm.f:1766-1770, :526-528): mean Lorentz width at
+# STP, mean molecular weight for the Doppler width, Doppler constant.
+ALZERO = 0.04
+AVMWT = 36.0
+ADCON = math.sqrt(2.0 * math.log(2.0) * GASCON / CLIGHT ** 2)
+
+
+def _halfwd(z: float, xvbar: float, prof: Profile) -> tuple:
+    """(P, T, alpha_lorentz, alpha_doppler, alpha_voigt) at altitude z
+    (HALFWD, rrtatm.f:5713-5745): P by exponential, T by linear
+    interpolation on the ZMDL grid, then the halfwidth functions
+    ALPHAL/ALPHAD/ALPHAV (:5727-5729)."""
+    zmdl, pm, tm = prof.zmdl, prof.pm, prof.tm
+    im = int(np.searchsorted(zmdl, z))        # first ZMDL >= z
+    im = min(max(im, 1), len(zmdl) - 1)
+    fac = (z - zmdl[im - 1]) / (zmdl[im] - zmdl[im - 1])
+    p = expint(pm[im - 1], pm[im], fac)
+    t = tm[im - 1] + (tm[im] - tm[im - 1]) * fac
+    al = ALZERO * (p / PZERO) * math.sqrt(296.0 / t)
+    ad = ADCON * xvbar * math.sqrt(t / AVMWT)
+    av = 0.5 * (al + math.sqrt(al * al + 4.0 * ad * ad))
+    return p, t, al, ad, av
+
+
+def autlay(prof: Profile, hmin: float, hmax: float, avtrat: float,
+           tdiff1: float, tdiff2: float, altd1: float, altd2: float,
+           xvbar: float = 1.0, ibdim: int = 600) -> np.ndarray:
+    """Automatic LBLRTM boundary selection (AUTLAY, rrtatm.f:5496-5605).
+
+    Walks the model grid upward, placing a boundary wherever the Voigt
+    halfwidth ratio would exceed ``avtrat`` or the temperature span
+    would exceed ``tdiff`` (exponentially interpolated from ``tdiff1``
+    at ``altd1`` to ``tdiff2`` at ``altd2``); failed boundaries are
+    located by log interpolation and rounded DOWN to the nearest
+    0.1 km (ZROUND, :5544).  The RRTM driver pins ``xvbar=1.0``
+    (rrtatm.f:587).  Returns the boundary altitudes (km).
+    """
+    zmdl, tm = prof.zmdl, prof.tm
+    hmin = max(hmin, zmdl[0])
+    htop = min(hmax, zmdl[-1])
+    # first model level above hmin (:4930-4970, 1-based IHMIN)
+    ihmin = int(np.searchsorted(zmdl, hmin, side="right"))
+    ihmin = min(max(ihmin, 1), len(zmdl) - 1)
+    avtm = {}
+    _, _, _, _, avtm[ihmin - 1] = _halfwd(zmdl[ihmin - 1], xvbar, prof)
+
+    zbnd = [hmin]
+    tbnd = [0.0]
+    avoigt = [0.0]
+    _, tbnd[0], _, _, avoigt[0] = _halfwd(hmin, xvbar, prof)
+    im = ihmin
+
+    for _ in range(10 * ibdim):               # outer: one boundary each
+        tmin = tmax = tbnd[-1]
+        ind = 0
+        zb = tb = av = None
+        done = False
+        for _ in range(len(zmdl) + 2):        # inner IM walk
+            ipass = 0
+            zb = min(zmdl[im], htop)
+            zbndti = zmdl[im]
+            _, tb, _, _, av = _halfwd(zb, xvbar, prof)
+            avtm[im] = av
+            # Voigt halfwidth ratio test (:5320-5490)
+            if avoigt[-1] / av >= avtrat:
+                ipass = 1
+                av = avoigt[-1] / avtrat
+                x = avtm[im] / avtm[im - 1]
+                if abs(1.0 - x) < 0.001:
+                    zb = (zmdl[im] + zmdl[im - 1]) / 2.0
+                else:
+                    alogx = math.log(x)
+                    y = av / avtm[im - 1]
+                    alogy = (1.0 - y if abs(1.0 - y) <= 0.001
+                             else math.log(y))
+                    zb = zmdl[im - 1] \
+                        + (zmdl[im] - zmdl[im - 1]) * alogy / alogx
+            # temperature difference test (:5520-5660)
+            fac = (zbnd[-1] - altd1) / (altd2 - altd1)
+            tdiff = expint(tdiff1, tdiff2, fac)
+            if tm[im] > tmax:
+                ind, tmax = 1, tm[im]
+            if tm[im] < tmin:
+                ind, tmin = 2, tm[im]
+            if tmax - tmin > tdiff:
+                tb = tmin + tdiff if ind == 1 else tmax - tdiff
+                ipass = 2
+                if abs(tm[im] - tm[im - 1]) < 1.0e-4:
+                    zbndti = (zmdl[im] + zmdl[im - 1]) / 2.0
+                else:
+                    zbndti = zmdl[im - 1] + (zmdl[im] - zmdl[im - 1]) \
+                        * (tb - tm[im - 1]) / (tm[im] - tm[im - 1])
+            if zbndti < zb:
+                zb = zbndti
+            if zb >= htop:
+                if htop - zbnd[-1] <= 0.1:     # merge with previous
+                    zbnd[-1] = htop
+                    _, tbnd[-1], _, _, avoigt[-1] = _halfwd(htop, xvbar,
+                                                            prof)
+                else:
+                    zbnd.append(htop)
+                    _, t2, _, _, a2 = _halfwd(htop, xvbar, prof)
+                    tbnd.append(t2)
+                    avoigt.append(a2)
+                done = True
+                break
+            if ipass == 0:
+                im += 1                        # try the next model level
+                continue
+            # a test failed: round down and emit this boundary (:5996)
+            zb = 0.1 * int(10.0 * zb)
+            _, tb, _, _, av = _halfwd(zb, xvbar, prof)
+            zbnd.append(zb)
+            tbnd.append(tb)
+            avoigt.append(av)
+            break
+        if done:
+            break
+        if len(zbnd) > ibdim:
+            raise ValueError("AUTLAY: boundary count exceeds IBDIM "
+                             "(avtrat/tdiff too small?)")
+    else:
+        raise ValueError("AUTLAY failed to reach the path top")
+    return np.asarray(zbnd)
+
+
+# ---------------------------------------------------------------------------
+# XAMNTS — cross-section molecule profiles + amounts (IXSECT=1, IATM=1)
+# ---------------------------------------------------------------------------
+
+# Master cross-section molecule list: name/alias -> index 1..14
+# (BLOCK DATA BXSECT, extra.f:145-164; indices 15-38 are unmatchable
+# ' ZZZZZZZZ ' placeholders).  XSREAD STOPs on an unmatched name.
+_XS_MASTER = {}
+for _j, _names in enumerate([
+        ("CLONO2", "CLNO3"),
+        ("HNO4",),
+        ("CHCL2F", "CFC21", "F21"),
+        ("CCL4",),
+        ("CCL3F", "CFCL3", "CFC11", "F11"),
+        ("CCL2F2", "CF2CL2", "CFC12", "F12"),
+        ("C2CL2F4", "C2F4CL2", "CFC114", "F114"),
+        ("C2CL3F3", "C2F3CL3", "CFC113", "F113"),
+        ("N2O5",),
+        ("HNO3",),
+        ("CF4", "CFC14", "F14"),
+        ("CHCLF2", "CHF2CL", "CFC22", "F22"),
+        ("CCLF3", "CFC13", "F13"),
+        ("C2CLF5", "CFC115", "F115")]):
+    for _n in _names:
+        _XS_MASTER[_n] = _j + 1
+del _j, _names, _n
+
+
+def _xtract(z: float, ix: int, altx: np.ndarray,
+            amolx: np.ndarray) -> float:
+    """Standard-profile mixing ratio at altitude ``z`` for master
+    molecule ``ix`` (XTRACT, rrtatm.f:6865-6921).  Faithful to the
+    reference's argument order: ``EXPINT(out, AMOLX(L), AMOLX(L-1), A)``
+    with ``A`` measured from ALTX(L-1) — i.e. at A=0 the value of the
+    level *above* is returned.  That inversion is the reference's
+    behavior, so it is preserved for parity."""
+    lx = int(np.searchsorted(altx, z))       # smallest ALTX(L) >= z
+    lx = min(max(lx, 1), len(altx) - 1)
+    a = (z - altx[lx - 1]) / (altx[lx] - altx[lx - 1])
+    return expint(amolx[ix - 1, lx], amolx[ix - 1, lx - 1], a)
+
+
+def read_xamnts(lines: List[str], i: int, prof: Profile,
+                zbnd: np.ndarray, h1: float, h2: float, ref_lat: float,
+                ) -> tuple:
+    """Records 3.7-3.8.2 -> layer cross-section amounts (XAMNTS,
+    rrtatm.f:6089-6591).  Returns (nxmol, ixindx, xamnt, next_line).
+
+    The x-molecule volume-mixing-ratio profiles are assembled on their
+    own grid (standard XMLATM profiles for IPRFL=1, or user records 3.8*
+    for IPRFL=0, per XPROFL rrtatm.f:6595-6861), interpolated onto the
+    model grid and converted to number density (XINTRP :6925-7004), and
+    then integrated over the SAME vertical path/layering as the regular
+    molecules (the reference re-runs RFPATH with NMOL=IXMOLS,
+    :6336-6351; on the forced vertical path that is exactly the
+    AMERGE/ALAYER/FPACK quadrature)."""
+    std = load_std_atmos()
+    altx, amolx = std["altx"], std["amolx"]
+
+    # record 3.7 (3I5): IXMOLS, IPRFL (0 user / 1 standard), IXSBIN
+    l = lines[i]; i += 1
+    ixmols = fint(l, 1, 5)
+    iprfl = fint(l, 6, 5)
+    if iprfl not in (0, 1):
+        raise ValueError(f"XAMNTS: IPRFL is not 0 or 1 (got {iprfl})")
+    # record 3.7.1 (7A10 / 8A10 continuation): molecule names (XSREAD)
+    names = []
+    l = lines[i]; i += 1
+    for k in range(min(ixmols, 7)):
+        names.append(fstr(l, 1 + 10 * k, 10).strip().upper())
+    if ixmols > 7:
+        l = lines[i]; i += 1
+        for k in range(ixmols - 7):
+            names.append(fstr(l, 1 + 10 * k, 10).strip().upper())
+    ixindx = []
+    for n in names:
+        if n not in _XS_MASTER:
+            raise ValueError(f"XSREAD: the name {n!r} is not one of the "
+                             "cross-section molecules")
+        ixindx.append(_XS_MASTER[n])
+
+    zmdl, pm, tm = prof.zmdl, prof.pm, prof.tm
+    immax = len(zmdl)
+
+    if iprfl > 0:
+        # standard profiles: ZX=ALTX, DENX straight from AMOLX (ppmv)
+        zx = altx
+        denx = np.stack([amolx[ix - 1] for ix in ixindx])
+    else:
+        # record 3.8 (2I5,A): LAYX, IZORP (0 altitude / 1 pressure grid)
+        l = lines[i]; i += 1
+        layx = fint(l, 1, 5)
+        izorp = fint(l, 6, 5)
+        zorp = np.zeros(layx)
+        jchar = []
+        dtmp = np.zeros((ixmols, layx))
+        for lev in range(layx):
+            # record 3.8.1 (F10.3,5X,38A1)
+            l = lines[i]; i += 1
+            zorp[lev] = ffloat(l, 1, 10)
+            jchar.append([fstr(l, 16 + k, 1) for k in range(ixmols)])
+            # record 3.8.2 (8E10.3, continuation every 8 values)
+            m = 0
+            while m < ixmols:
+                l = lines[i]; i += 1
+                n = min(8, ixmols - m)
+                for k in range(n):
+                    dtmp[m + k, lev] = ffloat(l, 1 + 10 * k, 10)
+                m += n
+        if izorp == 1:
+            # pressure grid -> altitudes, ln-p/hydrostatic blend
+            # (rrtatm.f:6741-6814 — same scheme as the 3.3B boundaries)
+            zx = _pbnd_to_zbnd(zorp, prof, ref_lat)
+            if np.any(np.diff(zx) <= 0):
+                raise ValueError("XPROFL: cross-section profile "
+                                 "altitudes not ascending")
+        else:
+            zx = zorp
+        # JCHAR '1': take the standard profile at this level (XTRACT)
+        for lev in range(layx):
+            for k in range(ixmols):
+                if jchar[lev][k] == "1":
+                    dtmp[k, lev] = _xtract(zx[lev], ixindx[k], altx, amolx)
+        denx = dtmp
+
+    layx = len(zx)
+    # XINTRP: interpolate DENX(ZX) -> model grid, convert ppmv to
+    # number density with the dry-air density (rrtatm.f:6968-6998)
+    if prof.dryair is not None:
+        dryair = np.where(prof.dryair == 0.0,
+                          ALOSMT * (pm / PZERO) / (tm / TZERO),
+                          prof.dryair)
+    else:
+        dryair = ALOSMT * (pm / PZERO) / (tm / TZERO)
+    denm_x = np.zeros((ixmols, immax))
+    lx = 1
+    for lev in range(immax):
+        while not (zmdl[lev] <= zx[lx] or lx == layx - 1):
+            lx += 1
+        a = (zmdl[lev] - zx[lx - 1]) / (zx[lx] - zx[lx - 1])
+        for k in range(ixmols):
+            denm_x[k, lev] = expint(denx[k, lx - 1], denx[k, lx], a) \
+                * dryair[lev] * 1.0e-6
+
+    # integrate over the identical vertical path (RFPATH re-run with
+    # NMOL=IXMOLS, rrtatm.f:6336-6359)
+    prof_x = Profile(zmdl, pm, tm, denm_x, prof.denw, dryair=prof.dryair)
+    res_x = vertical_path(prof_x, zbnd, h1, h2, nmol=ixmols,
+                          ref_lat=ref_lat)
+    return ixmols, tuple(ixindx), res_x.amount, i
 
 
 @dataclasses.dataclass
@@ -302,6 +593,10 @@ class RRTATMResult:
     rhosum: np.ndarray       # (L,) total air column, mol/cm2
     ref_lat: float
     hmod: str
+    # cross-section molecules (IXSECT=1, XAMNTS): /PATHX/ contents
+    nxmol: int = 0
+    ixindx: tuple = ()       # master-list indices 1..14 (extra.f:145-164)
+    xamnt: Optional[np.ndarray] = None       # (nxmol, L) mol/cm2
 
 
 def build_model_profile(model: int, nmol: int = 7,
@@ -324,7 +619,7 @@ def build_model_profile(model: int, nmol: int = 7,
     for k in range(7, nmol):
         denm[k] = std["trac"][k - 7, :ispace] * 1.0e-6 * dryair
     return Profile(zmdl, pm, tm, denm, denw.copy(),
-                   hmod=_HMOD_NAMES[model - 1])
+                   hmod=_HMOD_NAMES[model - 1], dryair=dryair.copy())
 
 
 def _parse_user_profile(lines: List[str], i: int, nmol: int,
@@ -384,7 +679,9 @@ def _parse_user_profile(lines: List[str], i: int, nmol: int,
         zmdl = cmpalt(pm, tm, denw, zmdl[0], ref_lat)
     if np.any(np.diff(zmdl) <= 0):
         raise ValueError("RRTATM: input altitudes not ascending")
-    return Profile(zmdl, pm, tm, denm, denw), i
+    # dry-air density per level (CONVRT, rrtatm.f:3906-3915)
+    dryair = ALOSMT * (pm / PZERO) * (TZERO / tm) - denw
+    return Profile(zmdl, pm, tm, denm, denw, dryair=dryair), i
 
 
 def _pbnd_to_zbnd(pbnd: np.ndarray, prof: Profile,
@@ -595,10 +892,8 @@ def vertical_path(prof: Profile, zbnd: np.ndarray, h1: float, h2: float,
 def read_rrtatm(lines: List[str], i: int, ixsect: int = 0,
                 airmwt: float = AIRMWT_REF) -> tuple:
     """Parse records 3.1-3.6 starting at line ``i`` and build the layered
-    atmosphere.  Returns (RRTATMResult, next_line_index)."""
-    if ixsect == 1:
-        raise NotImplementedError(
-            "IXSECT=1 with IATM=1 (XAMNTS cross-section profiles)")
+    atmosphere (plus, for ``ixsect=1``, records 3.7-3.8.2 -> layer
+    cross-section amounts).  Returns (RRTATMResult, next_line_index)."""
     # record 3.1  (7I5,I2,1X,I2,4F10.3,A10)  rrtatm.f:578-580
     l = lines[i]; i += 1
     model = fint(l, 1, 5)
@@ -620,14 +915,30 @@ def read_rrtatm(lines: List[str], i: int, ixsect: int = 0,
     h1 = ffloat(l, 1, 10)
     h2 = ffloat(l, 11, 10)
 
-    # record 3.3B: boundaries (8F10.3 per line), km or (negative ibmax) mb
+    autlay_args = None
     if ibmax == 0:
-        raise NotImplementedError("AUTLAY automatic layering (IBMAX=0)")
-    bnd = np.zeros(ibmax)
-    for j0 in range(0, ibmax, 8):
+        # record 3.3A (5F10.3): automatic layering parameters with the
+        # reference defaults/validation (rrtatm.f:852-863, :499)
         l = lines[i]; i += 1
-        for k in range(min(8, ibmax - j0)):
-            bnd[j0 + k] = ffloat(l, 1 + 10 * k, 10)
+        avtrat = ffloat(l, 1, 10) or 1.5
+        tdiff1 = ffloat(l, 11, 10) or 5.0
+        tdiff2 = ffloat(l, 21, 10) or 8.0
+        altd1 = ffloat(l, 31, 10)
+        altd2 = ffloat(l, 41, 10)
+        if altd2 <= 0.0 or altd2 <= altd1:
+            altd1, altd2 = 0.0, 100.0
+        if avtrat <= 1.0 or tdiff1 <= 0.0 or tdiff2 <= 0.0:
+            raise ValueError("RRTATM: invalid AUTLAY parameters "
+                             f"avtrat={avtrat} tdiff={tdiff1}/{tdiff2}")
+        autlay_args = (avtrat, tdiff1, tdiff2, altd1, altd2)
+        bnd = None
+    else:
+        # record 3.3B: boundaries (8F10.3/line), km or (ibmax<0) mb
+        bnd = np.zeros(ibmax)
+        for j0 in range(0, ibmax, 8):
+            l = lines[i]; i += 1
+            for k in range(min(8, ibmax - j0)):
+                bnd[j0 + k] = ffloat(l, 1 + 10 * k, 10)
 
     # profile
     if model == 0:
@@ -641,7 +952,11 @@ def read_rrtatm(lines: List[str], i: int, ixsect: int = 0,
     else:
         prof = build_model_profile(model, nmol, hspace)
 
-    if ibmax_b < 0:
+    if autlay_args is not None:
+        # vertical path: HMIN/HMAX from the path endpoints
+        # (FSCGEO at ANGLE=0 -> hmin=min(h1,h2); call site :1202-1205)
+        zbnd = autlay(prof, min(h1, h2), max(h1, h2), *autlay_args)
+    elif ibmax_b < 0:
         if np.any(np.diff(bnd) >= 0):
             raise ValueError("RRTATM: PBND not decreasing")
         zbnd = _pbnd_to_zbnd(bnd, prof, ref_lat)
@@ -653,4 +968,8 @@ def read_rrtatm(lines: List[str], i: int, ixsect: int = 0,
         zbnd = bnd
 
     res = vertical_path(prof, zbnd, h1, h2, nmol, ref_lat)
+    if ixsect == 1:
+        # records 3.7+ follow the profile records (rrtatm.f:197)
+        res.nxmol, res.ixindx, res.xamnt, i = read_xamnts(
+            lines, i, prof, zbnd, h1, h2, ref_lat)
     return res, i

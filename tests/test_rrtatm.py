@@ -129,3 +129,203 @@ def test_pressure_boundary_mode():
     res = R.vertical_path(prof, zbnd, zbnd[0], zbnd[-1], nmol=7)
     assert res.nlayers == 4
     np.testing.assert_allclose(res.pz, pbnd, rtol=1e-12)
+
+
+def _autlay_deck(tmp_path, rec33a="", model=2, h1=0.0, h2=70.0):
+    """A minimal IATM=1 deck with IBMAX=0 (AUTLAY) layering."""
+    def put(line, col, text):
+        # 1-based column placement
+        line = line.ljust(col - 1 + len(text))
+        return line[:col - 1] + text + line[col - 1 + len(text):]
+    rec12 = ""
+    rec12 = put(rec12, 50, "1")            # IATM
+    rec12 = put(rec12, 88, "  0")          # IOUT
+    rec31 = f"{model:5d}    2    0    1    1    7    0"
+    rec32 = f"{h1:10.3f}{h2:10.3f}"
+    deck = "\n".join(["$ AUTLAY test deck", rec12, "294.2",
+                      rec31, rec32, rec33a, "%"]) + "\n"
+    p = tmp_path / "INPUT_RRTM"
+    p.write_text(deck)
+    return p
+
+
+def test_autlay_default_parameters(tmp_path):
+    """IBMAX=0: boundaries generated by AUTLAY (rrtatm.f:5496-5605)
+    must satisfy the two advertised invariants against the model grid
+    — consecutive Voigt-halfwidth ratio <= AVTRAT and temperature span
+    <= TDIFF(z) — and be rounded down to 0.1 km."""
+    from rrtmg_lw_tpu.io.column_input import read_input_rrtm
+    case = read_input_rrtm(_autlay_deck(tmp_path))
+    assert case.nlayers > 10
+    z = case.altz
+    assert z[0] == 0.0 and z[-1] == 70.0
+    assert np.all(np.diff(z) > 0)
+    # interior boundaries land on the 0.1-km grid (ZROUND, :5544)
+    interior = z[1:-1]
+    np.testing.assert_allclose(interior, np.round(interior * 10) / 10,
+                               atol=1e-9)
+
+    prof = R.build_model_profile(2, nmol=7)
+    avtrat, tdiff1, tdiff2, altd1, altd2 = 1.5, 5.0, 8.0, 0.0, 100.0
+    av = np.array([R._halfwd(zz, 1.0, prof)[4] for zz in z])
+    ratios = av[:-1] / av[1:]
+    assert ratios.max() <= avtrat * 1.05, ratios.max()
+    # temperature span between consecutive boundaries on the model grid
+    for a, b in zip(z[:-1], z[1:]):
+        tdiff = R.expint(tdiff1, tdiff2, (a - altd1) / (altd2 - altd1))
+        sel = (prof.zmdl >= a) & (prof.zmdl <= b)
+        ts = np.concatenate([[R._halfwd(a, 1.0, prof)[1]],
+                             prof.tm[sel],
+                             [R._halfwd(b, 1.0, prof)[1]]])
+        assert ts.max() - ts.min() <= tdiff + 1.5, (a, b)
+
+
+def test_autlay_tight_parameters_make_more_layers(tmp_path):
+    """Stricter AVTRAT/TDIFF must refine the layering monotonically."""
+    from rrtmg_lw_tpu.io.column_input import read_input_rrtm
+    loose = read_input_rrtm(_autlay_deck(tmp_path))
+    tight33a = f"{1.2:10.3f}{2.0:10.3f}{4.0:10.3f}"
+    tight = read_input_rrtm(_autlay_deck(tmp_path, rec33a=tight33a))
+    assert tight.nlayers > loose.nlayers
+    # the tight run obeys its own ratio bound
+    prof = R.build_model_profile(2, nmol=7)
+    av = np.array([R._halfwd(zz, 1.0, prof)[4] for zz in tight.altz])
+    assert (av[:-1] / av[1:]).max() <= 1.2 * 1.05
+
+
+def test_autlay_full_radiation_runs(tmp_path):
+    """The AUTLAY deck must run end-to-end through the CLI solver."""
+    from rrtmg_lw_tpu.cli import run_case
+    from rrtmg_lw_tpu.io.column_input import read_input_rrtm
+    case = read_input_rrtm(_autlay_deck(tmp_path))
+    blocks, raws = run_case(case, return_raw=True)
+    uflx = raws[0]["uflx"]
+    assert np.all(np.isfinite(uflx)) and np.all(uflx > 0)
+    # OLR below surface emission, downward flux ~0 at TOA
+    assert raws[0]["uflx"][-1] < raws[0]["uflx"][0]
+    assert raws[0]["dflx"][-1] < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# XAMNTS — cross-section profiles with IATM=1 (rrtatm.f:6089-7004)
+# ---------------------------------------------------------------------------
+
+def _xsec_deck(tmp_path, xrecords, model=2, h1=0.0, h2=70.0):
+    """IATM=1 IXSECT=1 deck with AUTLAY layering and the given 3.7+
+    records appended."""
+    def put(line, col, text):
+        line = line.ljust(col - 1 + len(text))
+        return line[:col - 1] + text + line[col - 1 + len(text):]
+    rec12 = ""
+    rec12 = put(rec12, 50, "1")            # IATM
+    rec12 = put(rec12, 70, "1")            # IXSECT
+    rec12 = put(rec12, 88, "  0")          # IOUT
+    rec31 = f"{model:5d}    2    0    1    1    7    0"
+    rec32 = f"{h1:10.3f}{h2:10.3f}"
+    deck = "\n".join(["$ XAMNTS test deck", rec12, "294.2",
+                      rec31, rec32, ""] + xrecords + ["%"]) + "\n"
+    p = tmp_path / "INPUT_RRTM"
+    p.write_text(deck)
+    return p
+
+
+def test_xamnts_standard_profile(tmp_path):
+    """IPRFL=1: XMLATM standard profiles -> wx slots 1-4; an untracked
+    master molecule (HNO3) parses but lands in no slot (ixtrans=0)."""
+    recs = ["    5    1    0",
+            "CCL4      CFC11     CFC12     CFC22     HNO3      "]
+    case = read_input_rrtm(_xsec_deck(tmp_path, recs))
+    assert case.wx is not None and case.wx.shape == (4, case.nlayers)
+    assert np.all(case.wx > 0)             # all 4 slots filled
+    # column totals (molec/cm2, wx carries 1e-20): vmr ~1e-4 ppmv over
+    # ~2e25 total air -> ~1e13-1e14 molec/cm2 -> ~1e-7..1e-6 scaled
+    tot = case.wx.sum(axis=1) * 1.0e20
+    assert np.all(tot > 1e11) and np.all(tot < 1e16), tot
+    # independent bound: column of x <= vmr_max*1e-6 * dry-air column
+    std = R.load_std_atmos()
+    coldry_tot = case.coldry.sum()
+    for slot, master in ((0, 4), (1, 5), (2, 6), (3, 12)):
+        vmr_max = std["amolx"][master - 1].max()
+        assert tot[slot] <= vmr_max * 1.0e-6 * coldry_tot * 1.02
+
+
+def test_xamnts_constant_vmr_matches_coldry(tmp_path):
+    """IPRFL=0 with a constant-vmr user profile: the x amount must equal
+    vmr*1e-6*coldry layer by layer (both integrate the dry-air density
+    over the same path; quadrature interpolants differ slightly)."""
+    vmr = 0.1                              # ppmv, constant
+    zx = [0.0, 10.0, 30.0, 70.0, 100.0]
+    recs = ["    1    0    0",
+            "CCL4      ",
+            f"{len(zx):5d}    0 constant-vmr profile"]
+    for z in zx:
+        recs.append(f"{z:10.3f}     A")
+        recs.append(f"{vmr:10.3E}")
+    case = read_input_rrtm(_xsec_deck(tmp_path, recs))
+    got = case.wx[0] * 1.0e20
+    want = vmr * 1.0e-6 * case.coldry
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_xamnts_pressure_grid_matches_altitude_grid(tmp_path):
+    """IZORP=1 (pressure levels) must land close to the same profile
+    entered on its equivalent altitude grid."""
+    vmr = [0.3, 0.2, 0.1, 0.05]
+    za = [0.0, 10.0, 30.0, 80.0]
+    recs_a = ["    1    0    0", "CFC11     ",
+              f"{4:5d}    0 altitude grid"]
+    for z, c in zip(za, vmr):
+        recs_a.append(f"{z:10.3f}     A")
+        recs_a.append(f"{c:10.3E}")
+    case_a = read_input_rrtm(_xsec_deck(tmp_path, recs_a))
+    # equivalent pressures from the model-2 profile
+    prof = R.build_model_profile(2, nmol=7)
+    pa = [float(np.interp(z, prof.zmdl,
+                          np.log(prof.pm))) for z in za]
+    pa = np.exp(pa)
+    recs_p = ["    1    0    0", "CFC11     ",
+              f"{4:5d}    1 pressure grid"]
+    for p, c in zip(pa, vmr):
+        recs_p.append(f"{p:10.4f}     A")
+        recs_p.append(f"{c:10.3E}")
+    case_p = read_input_rrtm(_xsec_deck(tmp_path, recs_p))
+    np.testing.assert_allclose(case_p.wx[1], case_a.wx[1], rtol=0.02)
+
+
+def test_xamnts_jchar_1_uses_standard_profile(tmp_path):
+    """JCHAR='1' on a user level pulls the XMLATM standard value
+    (XTRACT), so an all-'1' profile must be within the standard
+    profile's range, not the (bogus) 999 the deck supplies."""
+    zx = [0.0, 20.0, 60.0, 100.0]
+    recs = ["    1    0    0", "CFC12     ",
+            f"{len(zx):5d}    0 jchar-1 profile"]
+    for z in zx:
+        recs.append(f"{z:10.3f}     1")
+        recs.append(f"{999.0:10.3E}")
+    case = read_input_rrtm(_xsec_deck(tmp_path, recs))
+    std = R.load_std_atmos()
+    vmr_max = std["amolx"][6 - 1].max()    # CFC12 = master 6
+    tot = case.wx[2].sum() * 1.0e20
+    assert 0 < tot <= vmr_max * 1.0e-6 * case.coldry.sum() * 1.02
+
+
+def test_xamnts_unknown_name_raises(tmp_path):
+    recs = ["    1    1    0", "KRYPTONITE"]
+    with pytest.raises(ValueError, match="cross-section"):
+        read_input_rrtm(_xsec_deck(tmp_path, recs))
+
+
+def test_xamnts_full_radiation_runs(tmp_path):
+    """End-to-end CLI run with IATM=1 cross sections: fluxes finite and
+    the x gases add absorption vs the same deck without them."""
+    from rrtmg_lw_tpu.cli import run_case
+    recs = ["    4    1    0",
+            "CCL4      CFC11     CFC12     CFC22     "]
+    case = read_input_rrtm(_xsec_deck(tmp_path, recs))
+    _, raws = run_case(case, return_raw=True)
+    assert np.all(np.isfinite(raws[0]["uflx"]))
+    case0 = read_input_rrtm(_xsec_deck(tmp_path, recs))
+    case0.wx = np.zeros_like(case0.wx)
+    _, raws0 = run_case(case0, return_raw=True)
+    # CFCs absorb: OLR must drop when they are present
+    assert raws[0]["uflx"][-1] < raws0[0]["uflx"][-1]

@@ -72,6 +72,33 @@ def parse_data_blocks(src: str, names) -> dict:
     return out
 
 
+def parse_xmlatm(src_joined: str) -> dict:
+    """Extract ALTX + AMOL1..AMOL14 from BLOCK DATA XMLATM (the standard
+    volume-mixing-ratio profiles of the cross-section molecules,
+    rrtatm.f:7008-).  Names AMOL11..AMOL38 collide with MLATMB's
+    model-atmosphere arrays, so parse only the XMLATM section.  Repeat
+    fills (``50*-99.`` for molecules without data, ``MXZ50*0.0``) are
+    expanded, keeping the first 50 levels."""
+    sec = src_joined[src_joined.index("BLOCK DATA XMLATM"):]
+    out = {}
+    for m in re.finditer(r"DATA\s+(ALTX|AMOL\d+)\s*/([^/]*)/", sec):
+        name = m.group(1).upper()
+        vals = []
+        for tok in m.group(2).split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if "*" in tok:
+                n, v = tok.split("*")
+                n = 0 if n.strip() == "MXZ50" else int(n)
+                vals.extend([float(v)] * n)
+            else:
+                vals.append(float(tok.replace("D", "E").replace("d", "e")))
+        if len(vals) >= 50:
+            out[name] = np.array(vals[:50], dtype=np.float64)
+    return out
+
+
 def build(ref: pathlib.Path) -> dict:
     src = join_fixed_form((ref / "src/rrtatm.f").read_text())
     names = (["ALT"]
@@ -88,7 +115,10 @@ def build(ref: pathlib.Path) -> dict:
     amol = np.stack([np.stack([d[f"AMOL{m}{k}"] for k in range(1, 9)])
                      for m in range(1, 7)])
     trac = np.stack([d[n] for n in TRAC_NAMES])
-    return dict(alt=d["ALT"], pmdl=pmdl, tmdl=tmdl, amol=amol, trac=trac)
+    x = parse_xmlatm(src)
+    amolx = np.stack([x[f"AMOL{k}"] for k in range(1, 15)])
+    return dict(alt=d["ALT"], pmdl=pmdl, tmdl=tmdl, amol=amol, trac=trac,
+                altx=x["ALTX"], amolx=amolx)
 
 
 def main():
