@@ -952,16 +952,30 @@ def read_rrtatm(lines: List[str], i: int, ixsect: int = 0,
     else:
         prof = build_model_profile(model, nmol, hspace)
 
-    if autlay_args is not None:
-        # vertical path: HMIN/HMAX from the path endpoints
-        # (FSCGEO at ANGLE=0 -> hmin=min(h1,h2); call site :1202-1205)
-        zbnd = autlay(prof, min(h1, h2), max(h1, h2), *autlay_args)
-    elif ibmax_b < 0:
+    if ibmax_b < 0:
         if np.any(np.diff(bnd) >= 0):
             raise ValueError("RRTATM: PBND not decreasing")
-        zbnd = _pbnd_to_zbnd(bnd, prof, ref_lat)
         h1 = _pbnd_to_zbnd(np.array([h1]), prof, ref_lat)[0]
         h2 = _pbnd_to_zbnd(np.array([h2]), prof, ref_lat)[0]
+
+    # FSCGEO endpoint handling for the forced vertical path (ANGLE=0):
+    # H1 >= H2 is rejected (rrtatm.f:4232), endpoints above the profile
+    # top reduce to ZMAX (REDUCE, :4306-4309, :4440), an entirely
+    # above-top path is an error (:4308, format 965)
+    if h1 >= h2:
+        raise ValueError(f"FSCGEO: H1 ({h1}) must be below H2 ({h2}) "
+                         "on the vertical path (ANGLE=0)")
+    zmax = prof.zmdl[-1]
+    if h1 >= zmax:
+        raise ValueError("FSCGEO: the entire path lies above the top "
+                         f"ZMAX = {zmax} of the atmospheric profile")
+    h2 = min(h2, zmax)
+
+    if autlay_args is not None:
+        # HMIN/HMAX from the path endpoints (call site :1202-1205)
+        zbnd = autlay(prof, h1, h2, *autlay_args)
+    elif ibmax_b < 0:
+        zbnd = _pbnd_to_zbnd(bnd, prof, ref_lat)
     else:
         if np.any(np.diff(bnd) <= 0):
             raise ValueError("RRTATM: ZBND not increasing")

@@ -329,3 +329,22 @@ def test_xamnts_full_radiation_runs(tmp_path):
     _, raws0 = run_case(case0, return_raw=True)
     # CFCs absorb: OLR must drop when they are present
     assert raws[0]["uflx"][-1] < raws0[0]["uflx"][-1]
+
+
+def test_endpoints_above_profile_top_reduce_to_zmax(tmp_path):
+    """H2 above the model top reduces to ZMAX (REDUCE,
+    rrtatm.f:4306-4309): deck H2=120 with HSPACE=100 must run, topping
+    out at 100 km."""
+    case = read_input_rrtm(_autlay_deck(tmp_path, h2=120.0))
+    assert case.altz[-1] == 100.0
+
+
+def test_h1_not_below_h2_rejected(tmp_path):
+    """FSCGEO rejects H1 >= H2 on the vertical path (rrtatm.f:4232)."""
+    with pytest.raises(ValueError, match="H1"):
+        read_input_rrtm(_autlay_deck(tmp_path, h1=70.0, h2=0.0))
+
+
+def test_entire_path_above_top_rejected(tmp_path):
+    with pytest.raises(ValueError, match="ZMAX"):
+        read_input_rrtm(_autlay_deck(tmp_path, h1=101.0, h2=110.0))
