@@ -37,8 +37,17 @@ def fstr(line: str, start: int, width: int) -> str:
 
 
 def fmt_f(value: float, width: int, decimals: int) -> str:
-    """Fortran Fw.d edit descriptor."""
-    s = f"{value:{width}.{decimals}f}"
+    """Fortran Fw.d edit descriptor.
+
+    Ties round HALF AWAY FROM ZERO (the reference goldens were printed
+    that way: pz=775.25 appears as 775.3 in output_rrtm_SAW-clr level
+    10), where Python's ``format`` rounds half-to-even (775.2).  The
+    exact binary value decides the tie, so convert through Decimal."""
+    import decimal
+    d = decimal.Decimal(value).quantize(
+        decimal.Decimal(1).scaleb(-decimals),
+        rounding=decimal.ROUND_HALF_UP)
+    s = f"{d:{width}.{decimals}f}"
     if len(s) > width:
         # Fortran drops the leading zero of "0." / "-0." if that makes
         # the value fit

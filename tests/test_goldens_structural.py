@@ -20,16 +20,28 @@ import pytest
 
 REF = pathlib.Path("/root/reference/run_examples_std_atm")
 
-# one per major driver path: clear iout=99 (RRTATM MLS + per-band
-# blocks), deterministic max-random overlap (rtrnmr + cldprop deck),
-# McICA exponential overlap (MT RNG + get_alpha), CFC/CCl4 cross
-# sections, boundary-layer aerosol deck, surface-dT derivative
+# all 14 reference cases (script.run_std_atm): the 4 clear standard
+# atmospheres (RRTATM MODEL 2/3/5/1, MLS with iout=99 per-band blocks),
+# the ICRCCM radiosonde user profile, deterministic max-random overlap
+# (rtrnmr + cldprop deck), the McICA overlap matrix (icld 2/4/5 x
+# idcor 0/1 x cld5/cld7 decks), CFC/CCl4 cross sections, the
+# boundary-layer aerosol deck, and the surface-dT derivative
 CASES = [
     ("MLS-clr", "input_rrtm_MLS-clr", None, None),
+    ("MLW-clr", "input_rrtm_MLW-clr", None, None),
+    ("SAW-clr", "input_rrtm_SAW-clr", None, None),
+    ("TROP-clr", "input_rrtm_TROP-clr", None, None),
+    ("ICRCCM_sonde", "input_rrtm_ICRCCM_sonde", None, None),
     ("MLS-cld5-imca0-icld2", "input_rrtm_MLS-cld-imca0-icld2",
      "in_cld_rrtm-cld5", None),
+    ("MLS-cld5-imca1-icld2", "input_rrtm_MLS-cld-imca1-icld2",
+     "in_cld_rrtm-cld5", None),
+    ("MLS-cld7-imca1-icld2", "input_rrtm_MLS-cld-imca1-icld2",
+     "in_cld_rrtm-cld7", None),
     ("MLS-cld7-imca1-icld4-idcor0",
      "input_rrtm_MLS-cld-imca1-icld4-idcor0", "in_cld_rrtm-cld7", None),
+    ("MLS-cld7-imca1-icld5-idcor0",
+     "input_rrtm_MLS-cld-imca1-icld5-idcor0", "in_cld_rrtm-cld7", None),
     ("MLS-cld7-imca1-icld5-idcor1",
      "input_rrtm_MLS-cld-imca1-icld5-idcor1", "in_cld_rrtm-cld7", None),
     ("MLS-clr-xsec", "input_rrtm_MLS-clr-xsec", None, None),
