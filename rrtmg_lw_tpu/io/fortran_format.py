@@ -9,6 +9,8 @@ output files rely on (rrtmg_lw.1col.f90:737-743).
 
 from __future__ import annotations
 
+import decimal as _decimal
+
 
 def ffloat(line: str, start: int, width: int) -> float:
     """Read a float from 1-based column ``start``, ``width`` chars."""
@@ -36,6 +38,9 @@ def fstr(line: str, start: int, width: int) -> str:
     return line[start - 1: start - 1 + width]
 
 
+_QUANTA = {}
+
+
 def fmt_f(value: float, width: int, decimals: int) -> str:
     """Fortran Fw.d edit descriptor.
 
@@ -43,10 +48,11 @@ def fmt_f(value: float, width: int, decimals: int) -> str:
     that way: pz=775.25 appears as 775.3 in output_rrtm_SAW-clr level
     10), where Python's ``format`` rounds half-to-even (775.2).  The
     exact binary value decides the tie, so convert through Decimal."""
-    import decimal
-    d = decimal.Decimal(value).quantize(
-        decimal.Decimal(1).scaleb(-decimals),
-        rounding=decimal.ROUND_HALF_UP)
+    q = _QUANTA.get(decimals)
+    if q is None:
+        q = _QUANTA[decimals] = _decimal.Decimal(1).scaleb(-decimals)
+    d = _decimal.Decimal(value).quantize(q,
+                                         rounding=_decimal.ROUND_HALF_UP)
     s = f"{d:{width}.{decimals}f}"
     if len(s) > width:
         # Fortran drops the leading zero of "0." / "-0." if that makes

@@ -493,15 +493,19 @@ def read_xamnts(lines: List[str], i: int, prof: Profile,
     iprfl = fint(l, 6, 5)
     if iprfl not in (0, 1):
         raise ValueError(f"XAMNTS: IPRFL is not 0 or 1 (got {iprfl})")
-    # record 3.7.1 (7A10 / 8A10 continuation): molecule names (XSREAD)
+    # record 3.7.1 (7A10 then 8A10 with format reversion: at most 8
+    # names per continuation record, extra.f:70-75): molecule names
     names = []
     l = lines[i]; i += 1
     for k in range(min(ixmols, 7)):
         names.append(fstr(l, 1 + 10 * k, 10).strip().upper())
-    if ixmols > 7:
+    m = 7
+    while m < ixmols:
         l = lines[i]; i += 1
-        for k in range(ixmols - 7):
+        n = min(8, ixmols - m)
+        for k in range(n):
             names.append(fstr(l, 1 + 10 * k, 10).strip().upper())
+        m += n
     ixindx = []
     for n in names:
         if n not in _XS_MASTER:

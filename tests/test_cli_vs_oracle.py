@@ -62,6 +62,19 @@ def _oracle_spectral(case, static, ktab):
     return o, taut, fr, ngb0
 
 
+def _run_clear_oracle(case, env, **rt_kwargs):
+    """Deck arrays -> oracle setcoef/taumol -> cloud-free rtrnmc."""
+    static, ktab, luts = env
+    o, taut, fr, ngb0 = _oracle_spectral(case, static, ktab)
+    zero = np.zeros((case.nlayers, 140)).T
+    if rt_kwargs.pop("idrv", 0):
+        rt_kwargs.update(idrv=1, dplankbnd_dt=o["dplankbnd_dt"])
+    return ort.rtrnmc_1col(
+        case.nlayers, case.pz, case.semiss, ngb0, zero, zero,
+        o["planklay"], o["planklev"], o["plankbnd"], float(case.pwvcm),
+        fr, taut, luts, heatfac(), **rt_kwargs)
+
+
 def _apply_dtbound(o_rt, case, pz):
     """Column-mode idrv adjustment (rrtmg_lw.1col.f90:587-610)."""
     uflx = o_rt["totuflux"] + o_rt["dtotuflux_dt"] * case.dtbound
@@ -102,52 +115,34 @@ def _check_printed(blocks, raws, tmp_path):
 
 def test_clear_deck_values(env, tmp_path):
     """MLS clear, iout=99: total block + every per-band block."""
-    static, ktab, luts = env
     from rrtmg_lw_tpu.cli import run_case
     case = _parse("input_rrtm_MLS-clr")
     assert case.icld == 0 and case.imca == 0
     blocks, raws = run_case(case, return_raw=True)
     assert len(raws) == 17                       # iout=99
-    o, taut, fr, ngb0 = _oracle_spectral(case, static, ktab)
-    zero = np.zeros((case.nlayers, 140)).T
-    orc = ort.rtrnmc_1col(
-        case.nlayers, case.pz, case.semiss, ngb0, zero, zero,
-        o["planklay"], o["planklev"], o["plankbnd"], float(case.pwvcm),
-        fr, taut, luts, heatfac())
+    orc = _run_clear_oracle(case, env)
     _check_raw(raws[0], orc["totuflux"], orc["totdflux"], orc["htr"])
     _check_printed(blocks, raws, tmp_path)
 
 
 def test_xsec_deck_values(env, tmp_path):
     """CFC/CCl4 cross sections (wx parse path, extra.f aliases)."""
-    static, ktab, luts = env
     from rrtmg_lw_tpu.cli import run_case
     case = _parse("input_rrtm_MLS-clr-xsec")
     assert np.any(case.wx != 0.0)
     blocks, raws = run_case(case, return_raw=True)
-    o, taut, fr, ngb0 = _oracle_spectral(case, static, ktab)
-    zero = np.zeros((case.nlayers, 140)).T
-    orc = ort.rtrnmc_1col(
-        case.nlayers, case.pz, case.semiss, ngb0, zero, zero,
-        o["planklay"], o["planklev"], o["plankbnd"], float(case.pwvcm),
-        fr, taut, luts, heatfac())
+    orc = _run_clear_oracle(case, env)
     _check_raw(raws[0], orc["totuflux"], orc["totdflux"], orc["htr"])
     _check_printed(blocks, raws, tmp_path)
 
 
 def test_aerosol_deck_values(env, tmp_path):
     """IN_AER_RRTM grey per-band aerosol optical depths."""
-    static, ktab, luts = env
     from rrtmg_lw_tpu.cli import run_case
     case = _parse("input_rrtm_MLS-clr-aer12", aer="in_aer_rrtm-aer12")
     assert np.any(case.tauaer != 0.0)
     blocks, raws = run_case(case, return_raw=True)
-    o, taut, fr, ngb0 = _oracle_spectral(case, static, ktab)
-    zero = np.zeros((case.nlayers, 140)).T
-    orc = ort.rtrnmc_1col(
-        case.nlayers, case.pz, case.semiss, ngb0, zero, zero,
-        o["planklay"], o["planklev"], o["plankbnd"], float(case.pwvcm),
-        fr, taut, luts, heatfac())
+    orc = _run_clear_oracle(case, env)
     _check_raw(raws[0], orc["totuflux"], orc["totdflux"], orc["htr"])
     _check_printed(blocks, raws, tmp_path)
 
@@ -155,18 +150,11 @@ def test_aerosol_deck_values(env, tmp_path):
 def test_idrv_deck_values(env, tmp_path):
     """idrv=1 + DTBOUND: the post-solve flux adjustment must match the
     oracle's derivative recursion applied the reference way."""
-    static, ktab, luts = env
     from rrtmg_lw_tpu.cli import run_case
     case = _parse("input_rrtm_MLS-clr-idrv1")
     assert case.idrv == 1 and case.dtbound != 0.0
     blocks, raws = run_case(case, return_raw=True)
-    o, taut, fr, ngb0 = _oracle_spectral(case, static, ktab)
-    zero = np.zeros((case.nlayers, 140)).T
-    orc = ort.rtrnmc_1col(
-        case.nlayers, case.pz, case.semiss, ngb0, zero, zero,
-        o["planklay"], o["planklev"], o["plankbnd"], float(case.pwvcm),
-        fr, taut, luts, heatfac(), idrv=1,
-        dplankbnd_dt=o["dplankbnd_dt"])
+    orc = _run_clear_oracle(case, env, idrv=1)
     uflx, htr = _apply_dtbound(orc, case, case.pz)
     _check_raw(raws[0], uflx, orc["totdflux"], htr)
     _check_printed(blocks, raws, tmp_path)

@@ -134,8 +134,13 @@ def test_two_process_distributed_mesh(tmp_path):
     import sys as _sys
     import pathlib as _pl
 
+    import socket
+
     worker = _pl.Path(__file__).parent / "mp_worker.py"
-    port = "12973"
+    # pick a free port so concurrent/aborted runs cannot collide
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
@@ -143,7 +148,13 @@ def test_two_process_distributed_mesh(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         cwd=str(_pl.Path(__file__).parent.parent), env=env)
         for i in range(2)]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
 

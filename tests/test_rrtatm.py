@@ -348,3 +348,19 @@ def test_h1_not_below_h2_rejected(tmp_path):
 def test_entire_path_above_top_rejected(tmp_path):
     with pytest.raises(ValueError, match="ZMAX"):
         read_input_rrtm(_autlay_deck(tmp_path, h1=101.0, h2=110.0))
+
+
+def test_xamnts_16_names_wrap_records(tmp_path):
+    """Record 3.7.1 format reversion: 7 names on the first record, then
+    at most 8 per continuation record (extra.f:70-75) — a 16-molecule
+    selection spans three records."""
+    names = ["CCL4", "CFC11", "CFC12", "CFC22", "HNO3", "N2O5", "CF4",
+             "CLONO2", "HNO4", "CFC113", "CFC114", "CFC115", "CCL4",
+             "CFC11", "CFC12", "CFC22"]
+    rec1 = "".join(f"{n:<10}" for n in names[:7])
+    rec2 = "".join(f"{n:<10}" for n in names[7:15])
+    rec3 = f"{names[15]:<10}"
+    recs = [f"{16:5d}    1    0", rec1, rec2, rec3]
+    case = read_input_rrtm(_xsec_deck(tmp_path, recs))
+    # later duplicates overwrite the same wx slot with the same values
+    assert np.all(case.wx > 0)
