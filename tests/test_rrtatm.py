@@ -364,3 +364,18 @@ def test_xamnts_16_names_wrap_records(tmp_path):
     case = read_input_rrtm(_xsec_deck(tmp_path, recs))
     # later duplicates overwrite the same wx slot with the same values
     assert np.all(case.wx > 0)
+
+
+def test_column_mass_matches_hydrostatics():
+    """Independent physics check of the AMERGE/ALAYER/FPACK quadrature:
+    the total air column must equal the hydrostatic estimate
+    dp/(m_air*g) within ~1% (quadrature and profile interpolants are
+    exponential, not exact hydrostatic)."""
+    prof = R.build_model_profile(2, nmol=7)
+    zbnd = np.arange(0.0, 71.0, 2.0)
+    res = R.vertical_path(prof, zbnd, 0.0, 70.0, nmol=7)
+    n_col = res.rhosum.sum()                      # molec/cm2
+    dp_pa = (res.pz[0] - res.pz[-1]) * 100.0      # mb -> Pa
+    m_air = 28.964e-3                             # kg/mol
+    n_hyd = dp_pa / (m_air * 9.80665) * 6.02214e23 / 1.0e4
+    np.testing.assert_allclose(n_col, n_hyd, rtol=0.01)
