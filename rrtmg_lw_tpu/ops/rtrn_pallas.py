@@ -677,7 +677,11 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
         B, L, G = taut.shape
     dtype = taut.dtype
     assert dtype == jnp.float32
+    # launch-shape A/B knobs (tools/ab_matrix.py sweeps these on-chip;
+    # read at trace time, so each setting needs a fresh jit)
+    tile = int(os.environ.get("RRTMG_RT_TILE", tile))
     Lc = lc_cloudy if cloudy else lc_clear
+    Lc = int(os.environ.get("RRTMG_RT_LC", Lc))
     Lc = min(Lc, L)
     if blocked:
         # blocked arrays cannot be padded: Lc must divide L and the
