@@ -106,10 +106,37 @@ def _gas_factors(od):
     return _gas_factors_e(od, jnp.exp(-od))
 
 
+def _gas_factors2_e(od_g, e_g, od_t, e_t):
+    """Gas + total (gas+cloud) factors with ONE division for both tf
+    denominators via a shared reciprocal (1/a = (1/(a*b))*b): saves a
+    VPU divide per cloudy level at a ~few-ulp deviation from the
+    two-division form.  A/B knob RRTMG_RT_ONE_DIV; falls back to two
+    _gas_factors_e calls when off."""
+    small_g = od_g <= 0.06
+    small_t = od_t <= 0.06
+    odg_s = jnp.maximum(od_g, 0.06)
+    odt_s = jnp.maximum(od_t, 0.06)
+    eg_s = jnp.where(small_g, E006, e_g)
+    et_s = jnp.where(small_t, E006, e_t)
+    om_g = 1.0 - eg_s
+    om_t = 1.0 - et_s
+    atrans = jnp.where(small_g, od_g - 0.5 * od_g * od_g, om_g)
+    atot = jnp.where(small_t, od_t - 0.5 * od_t * od_t, om_t)
+    dg = odg_s * om_g
+    dt = odt_s * om_t
+    inv = 1.0 / (dg * dt)
+    tf = jnp.where(small_g, REC_6 * od_g,
+                   1.0 - 2.0 * (om_g - odg_s * eg_s) * (inv * dt))
+    tftot = jnp.where(small_t, REC_6 * od_t,
+                      1.0 - 2.0 * (om_t - odt_s * et_s) * (inv * dg))
+    return atrans, tf, atot, tftot
+
+
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                   gate_thresh, ngb0_key, delwave_key, resident, cache,
-                  fused_clouds, compact, banded, maxrand, interpret):
+                  fused_clouds, compact, banded, maxrand, one_div,
+                  interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples.
 
     With ``resident`` the level-streamed inputs ship as whole-(Lp)
@@ -246,7 +273,16 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             blay = edot(rd(play_r, k))
             od = jnp.maximum(secd_g * t, 0.0)
             e_od = jnp.exp(-od)
-            atrans, tf = _gas_factors_e(od, e_od)
+            if not (cloudy and one_div):
+                atrans, tf = _gas_factors_e(od, e_od)
+
+            def cld_factors(odcld, e_cld):
+                if one_div:
+                    return _gas_factors2_e(od, e_od, od + odcld,
+                                           e_od * e_cld)
+                a, t2 = _gas_factors_e(od + odcld, e_od * e_cld)
+                return atrans, tf, a, t2
+
             if cloudy:
                 if banded or maxrand:
                     # deterministic per-band clouds (cldprop,
@@ -264,8 +300,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     else:
                         abscld = 1.0 - e_cld
                         efc = jnp.where(gate, abscld * cldf, 0.0)
-                    atot, tftot = _gas_factors_e(od + odcld,
-                                                 e_od * e_cld)
+                    atrans, tf, atot, tftot = cld_factors(odcld, e_cld)
                     cly = cl8[0:1] >= gate_thresh     # (1, BT)
                     return (f, blay, atrans, tf, cldf, efc, atot,
                             tftot, cly)
@@ -312,7 +347,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 e_cld = jnp.exp(-odcld)
                 abscld = 1.0 - e_cld
                 efc = jnp.where(gate, abscld * cldf, 0.0)
-                atot, tftot = _gas_factors_e(od + odcld, e_od * e_cld)
+                atrans, tf, atot, tftot = cld_factors(odcld, e_cld)
                 cly = (jnp.max(gate.astype(jnp.float32), axis=0,
                                keepdims=True) > 0.0)   # (1, BT)
                 return f, blay, atrans, tf, cldf, efc, atot, tftot, cly
@@ -806,6 +841,7 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                         tuple(float(v) for v in delwave),
                         bool(resident), bool(cache), bool(fused),
                         bool(compact), bool(banded), bool(maxrand),
+                        bool(os.environ.get("RRTMG_RT_ONE_DIV")),
                         bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)

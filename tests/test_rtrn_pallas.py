@@ -493,3 +493,26 @@ def test_model_maxrand_unaligned_batch_dispatch(monkeypatch):
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(np.asarray(getattr(fp, name)), a,
                                    atol=2e-5 * scale, err_msg=name)
+
+
+def test_one_div_knob_parity(stack, monkeypatch):
+    """RRTMG_RT_ONE_DIV (shared-reciprocal cloudy gas factors) must
+    match the two-division form to f32 rounding."""
+    model, prof, sc, taut, fracs, cldf, odcld = stack
+    kw = dict(static=model.static_np, idrv=0, heatfac_val=model.heatfac)
+
+    def run():
+        return rtp.rt_random_overlap_pallas(
+            taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+            sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf,
+            odcld, cloudy=True, gate_thresh=0.5, interpret=True, **kw)
+
+    base = run()
+    monkeypatch.setenv("RRTMG_RT_ONE_DIV", "1")
+    out = run()
+    for name in ["totuflux", "totdflux", "totuclfl", "totdclfl"]:
+        a = np.asarray(getattr(base, name))
+        b = np.asarray(getattr(out, name))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, atol=2e-6 * scale,
+                                   err_msg=name)
