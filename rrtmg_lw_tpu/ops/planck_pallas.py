@@ -24,6 +24,7 @@ eliminate under jit.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,7 @@ def planck_interp_blocked(temp_t, totplnk, *, tile=512, interpret=False):
     on tile-aligned B).
     """
     L, B = temp_t.shape
+    tile = int(os.environ.get("RRTMG_PLANCK_TILE", tile))  # A/B knob
     tile = min(tile, B)
     if B % tile:
         raise ValueError("planck_interp_blocked needs tile | B")

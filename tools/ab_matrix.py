@@ -32,7 +32,8 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 KNOBS = ["RRTMG_RT_TILE", "RRTMG_RT_LC", "RRTMG_RT_ONE_DIV",
-         "RRTMG_RT_NO_RESIDENT", "RRTMG_RT_NO_CACHE"]
+         "RRTMG_RT_NO_RESIDENT", "RRTMG_RT_NO_CACHE",
+         "RRTMG_PLANCK_TILE"]
 
 # (name, env) — env values are strings; None clears the knob
 CONFIGS = [
@@ -45,6 +46,8 @@ CONFIGS = [
     ("lc30", {"RRTMG_RT_LC": "30"}),
     ("tile256_lc10", {"RRTMG_RT_TILE": "256", "RRTMG_RT_LC": "10"}),
     ("one_div", {"RRTMG_RT_ONE_DIV": "1"}),
+    ("ptile2048", {"RRTMG_PLANCK_TILE": "2048"}),
+    ("ptile1024", {"RRTMG_PLANCK_TILE": "1024"}),
     ("no_resident", {"RRTMG_RT_NO_RESIDENT": "1"}),
     ("no_cache", {"RRTMG_RT_NO_CACHE": "1"}),
 ]
