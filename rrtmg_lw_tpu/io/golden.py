@@ -16,9 +16,6 @@ from typing import List
 import numpy as np
 
 _HDR = re.compile(r"\s*Wavenumbers:\s*([0-9.]+)\s*-\s*([0-9.]+)\s*cm-1")
-_ROW = re.compile(
-    r"\s*(\d+)\s+([0-9.eE+-]+)\s+([0-9.eE+-]+)\s+([0-9.eE+-]+)"
-    r"\s+([0-9.eE+-]+|-[0-9.eE+-]+)\s+(-?[0-9.eE+-]+)")
 
 
 @dataclasses.dataclass

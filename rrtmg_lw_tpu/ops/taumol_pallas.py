@@ -953,9 +953,9 @@ class PallasTaumol:
 
     def _window_meta(self, jp_flat, lm_flat):
         """Per-tile pressure-window block indices wb (2, ntiles) int32
-        + scalar fits flag.  Derived from the same clipped row indices
-        the kernel uses; pure-region tiles get neutral fills so mixed
-        tiles don't widen the other region's window."""
+        + per-tile fits flags (ntiles,).  Derived from the same clipped
+        row indices the kernel uses; pure-region tiles get neutral
+        fills so mixed tiles don't widen the other region's window."""
         T = self.tile
         win = self.window
         jp = jp_flat.reshape(-1, T)
@@ -972,16 +972,19 @@ class PallasTaumol:
         wu = jnp.clip((pminu * 5) // WSTEP, 0, self._nwin[235] - 1)
         fitu = (pmaxu * 5 + 4) < wu * WSTEP + win
         wb = jnp.stack([wl, wu]).astype(jnp.int32)
-        return wb, jnp.logical_and(jnp.all(fitl), jnp.all(fitu))
+        return wb, jnp.logical_and(fitl, fitu)
 
     def window_ok(self, sc: SetcoefOut):
-        """Scalar bool diagnostic: True when every cell tile's jp
-        spread fits the WINDOW-row pressure window (kernel results are
-        exact); False when some selection rows were edge-clamped (only
-        possible for batches whose per-layer pressure spread exceeds
-        ~11 reference slots)."""
+        """Per-column bool diagnostic (B,): True when every tile
+        touching the column fits the WINDOW-row pressure window (kernel
+        results are exact); False where selection rows were
+        edge-clamped (only possible for batches whose per-layer
+        pressure spread exceeds ~11 reference slots).  Cells are
+        layer-major (tiles are layer-pure column runs), so the per-tile
+        flags expand to cells and reduce over layers."""
         if not self.window:
             return None
+        B, L = sc.jp.shape
         C = sc.jp.size
         pad = (-C) % self.tile
 
@@ -989,8 +992,10 @@ class PallasTaumol:
             v = x.T.reshape(-1).astype(jnp.int32)
             return jnp.pad(v, (0, pad), mode="edge") if pad else v
 
-        return self._window_meta(
-            iv(sc.jp), iv(sc.laytrop_mask.astype(jnp.int32)))[1]
+        _, fit = self._window_meta(
+            iv(sc.jp), iv(sc.laytrop_mask.astype(jnp.int32)))
+        per_cell = jnp.repeat(fit, self.tile)[:C].reshape(L, B)
+        return jnp.all(per_cell, axis=0)
 
     def _wb(self, sci, ntiles):
         if self.window:

@@ -20,10 +20,12 @@ from .mesh import COLUMNS, SPEC, batch_sharding, shardings_for, \
 
 
 def _pspecs_for(tree, mesh):
-    """Matching pytree of PartitionSpecs (for shard_map in_specs)."""
-    return jax.tree_util.tree_map(lambda s: s.spec,
-                                  shardings_for(tree, mesh),
-                                  is_leaf=lambda x: x is None)
+    """Matching pytree of PartitionSpecs (for shard_map in_specs).
+    ``None`` sub-trees (clouds=None, optional Atmosphere fields) map to
+    None specs — shard_map sees them as empty pytrees."""
+    return jax.tree_util.tree_map(
+        lambda s: None if s is None else s.spec,
+        shardings_for(tree, mesh), is_leaf=lambda x: x is None)
 
 
 def make_sharded_step(model, mesh, donate: bool = False,
@@ -90,5 +92,8 @@ def make_sharded_grad_step(model, mesh, loss_fn=None):
         loss, g = jax.value_and_grad(obj)(atm)
         return loss, g
 
-    return jax.jit(step, in_shardings=bs,
-                   out_shardings=(None, bs))
+    # inputs are placed layout-aware by shard_batch (a blanket
+    # in_shardings would shard the L axis of blocked/compact cloud
+    # arrays over columns); jit inherits the argument shardings.
+    # The gradient mirrors the batch-first Atmosphere tree -> bs.
+    return jax.jit(step, out_shardings=(None, bs))

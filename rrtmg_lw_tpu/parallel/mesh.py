@@ -83,8 +83,15 @@ def global_batch_from_host_shards(mesh: Mesh, per_host_arrays):
 
     Each host passes the column shard it loaded; the result is a global
     array sharded over the ``columns`` axis (DCN boundary handled by the
-    JAX runtime).  Single-host fallback: equivalent to shard_batch.
+    JAX runtime).  Layout aware like shard_batch: blocked/compact cloud
+    arrays concatenate hosts along their LAST (column) axis, batch-first
+    leaves along axis 0.  Single-host fallback: equivalent to
+    shard_batch.
     """
     from jax.experimental import multihost_utils
+    specs = jax.tree_util.tree_map(
+        lambda s: None if s is None else s.spec,
+        shardings_for(per_host_arrays, mesh),
+        is_leaf=lambda x: x is None)
     return multihost_utils.host_local_array_to_global_array(
-        per_host_arrays, mesh, P(COLUMNS))
+        per_host_arrays, mesh, specs)

@@ -53,8 +53,11 @@ def run_epoch(step_fn: Callable, batches: Iterable, mesh,
     """Drive step_fn over a stream of host batches with prefetch."""
     out = None
     for dev_batch in prefetch(batches, mesh, depth=depth):
-        out = step_fn(*dev_batch) if isinstance(dev_batch, tuple) \
-            else step_fn(dev_batch)
+        # splat only plain tuples: NamedTuple batches (Atmosphere,
+        # cloud pytrees) are single arguments
+        splat = (isinstance(dev_batch, tuple)
+                 and not hasattr(dev_batch, "_fields"))
+        out = step_fn(*dev_batch) if splat else step_fn(dev_batch)
         if callback is not None:
             callback(out)
     return out

@@ -200,8 +200,8 @@ class Fluxes(NamedTuple):
     # (rrtmg_lw_cldprmc.f90:204-253); a jitted batched kernel cannot,
     # so the flag is surfaced for post-hoc checking.
     cld_bounds_ok: Optional[jnp.ndarray] = None  # (B, L) bool
-    # scalar bool: False when the blocked taumol kernel's 64-row
-    # pressure-window selection edge-clamped (a batch mixing vertical
-    # grids so one layer's jp spread exceeds the window — physically
-    # absurd inputs, but silently wrong if unchecked)
+    # per-column bool (B,): False where the blocked taumol kernel's
+    # 64-row pressure-window selection edge-clamped (a batch mixing
+    # vertical grids so one layer's jp spread exceeds the window —
+    # physically absurd inputs, but silently wrong if unchecked)
     window_ok: Optional[jnp.ndarray] = None

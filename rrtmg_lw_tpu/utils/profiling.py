@@ -35,12 +35,14 @@ def _sync(tree):
 class ThroughputMeter:
     """Accumulates columns processed / wall seconds across steps.
 
-    Usage::
+    Store the step's output in the yielded holder so the meter can
+    block on device completion before stopping the clock — otherwise
+    only the (microsecond) async dispatch is timed::
 
         meter = ThroughputMeter()
         for batch in stream:
-            with meter.step(ncols=batch.play.shape[0]):
-                out = step_fn(batch)   # meter syncs on exit
+            with meter.step(ncols=batch.play.shape[0]) as h:
+                h["result"] = step_fn(batch)   # synced on exit
         print(meter.columns_per_sec)
     """
 
@@ -52,6 +54,8 @@ class ThroughputMeter:
     def step(self, ncols: int, result=None):
         t0 = time.perf_counter()
         holder = {}
+        if result is not None:
+            holder["result"] = result
         try:
             yield holder
         finally:
@@ -107,7 +111,9 @@ def trace(logdir: str = "/tmp/rrtmg_lw_trace",
     xprofiler.  Wrap a few *warmed-up* steps only; tracing a compile
     produces an unreadable trace.
     """
-    jax.profiler.start_trace(logdir)
+    opts = jax.profiler.ProfileOptions()
+    opts.host_tracer_level = host_tracer_level
+    jax.profiler.start_trace(logdir, profiler_options=opts)
     try:
         yield logdir
     finally:

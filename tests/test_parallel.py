@@ -189,3 +189,37 @@ def test_two_process_distributed_mesh(tmp_path):
     assert covered.all()
     np.testing.assert_allclose(
         float(d0["metric_olr_mean"]), ref[:, -1].mean(), rtol=1e-5)
+
+
+def test_shard_map_clear_sky():
+    """Regression: shard_map step with clouds=None (clear sky) used to
+    crash in _pspecs_for (None pytree treated as a spec leaf)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = par.make_mesh(jax.devices()[:8], spec=1)
+    cfg = LWConfig(icld=0, dtype="float64")
+    B, L = 16, 21
+    atm = make_atmosphere(ncol=B, nlay=L)
+    ref = make_model(cfg)(atm)
+    step = par.make_sharded_step(make_model(cfg), mesh,
+                                 use_shard_map=True)
+    out = step(par.shard_batch(atm, mesh))
+    np.testing.assert_allclose(np.asarray(out.uflx),
+                               np.asarray(ref.uflx), rtol=1e-12)
+
+
+def test_run_epoch_namedtuple_batches():
+    """Regression: run_epoch must not splat NamedTuple batches
+    (Atmosphere is a tuple subclass) into positional args."""
+    mesh = par.make_mesh(jax.devices()[:8], spec=1)
+    cfg = LWConfig(icld=0, dtype="float64")
+    model = make_model(cfg)
+    step = par.make_sharded_step(model, mesh)
+    batches = [make_atmosphere(ncol=8, nlay=15, seed=s) for s in range(3)]
+    outs = []
+    last = par.run_epoch(step, batches, mesh,
+                         callback=lambda o: outs.append(o))
+    assert len(outs) == 3 and last is outs[-1]
+    ref = model(batches[-1])
+    np.testing.assert_allclose(np.asarray(last.uflx),
+                               np.asarray(ref.uflx), rtol=1e-12)

@@ -118,8 +118,11 @@ def test_window_ok_flag(setup):
     pt = PallasTaumol(model.ktables, model.static_np, interpret=True,
                       tile=8)
     # normal atmosphere: every layer-tile's jp spread fits the window
-    assert bool(pt.window_ok(sc))
+    ok = pt.window_ok(sc)
+    assert ok.shape == (sc.jp.shape[0],) and bool(ok.all())
     # absurd batch: columns 0/1 of the same layer 12 pressure slots
-    # apart -> rows clamp, flag goes False
+    # apart -> rows clamp, the affected columns' flags go False
     jp_wide = sc.jp.at[0].set(0).at[1].set(12)
-    assert not bool(pt.window_ok(sc._replace(jp=jp_wide)))
+    ok = pt.window_ok(sc._replace(jp=jp_wide))
+    assert not bool(ok.all())
+    assert not ok[0] and not ok[1]
