@@ -202,7 +202,8 @@ class RRTMGLW:
                 fracs = fracs[..., gsel]
 
         def run_rt(cldf_g, odcld_g, cloudy, thresh,
-                   clouds_blocked=False, cloud_fields=None):
+                   clouds_blocked=False, cloud_fields=None,
+                   odcld_weighted=False):
             if self.rt_pallas:
                 from ..ops import rtrn_pallas as rtp
                 play, plev = (planck_args if planck_b
@@ -230,7 +231,7 @@ class RRTMGLW:
                 static=self.static_np, luts=self.luts,
                 use_lut=cfg.use_lut, idrv=cfg.idrv,
                 heatfac_val=self.heatfac, istart=cfg.istart,
-                iend=cfg.iend)
+                iend=cfg.iend, odcld_weighted=odcld_weighted)
 
         bounds_ok = None
         if cfg.icld == 0 or clouds is None:
@@ -287,13 +288,39 @@ class RRTMGLW:
                 out = run_rt(cldf_g, odcld_g, True, 0.5)
         else:
             assert isinstance(clouds, BandClouds)
+            taucb_dyn = taucb_dyn_w = None
+            if not cld_ops.cloud_bands_static(cfg.inflag, cfg.iceflag,
+                                              cfg.liqflag):
+                # reference runtime-ncbands configs (iceflag 0/1 or
+                # liqflag 0): cloud-band taucloud + the ipat/secdiff
+                # cloud-band aliasing expanded to spectral bands.
+                # Consumers that multiply by the spectral band's
+                # secdiff themselves (the Pallas kernels) get the
+                # ratio prefold (taucb_dyn); the XLA LUT paths get the
+                # exactly-weighted od (taucb_dyn_w + odcld_weighted)
+                # because a ratio-induced ulp shifts the tau_tbl
+                # quantizer.
+                from ..ops.rtrn import secdiff as _secdiff
+                tau_cb, ncb, bounds_ok = cld_ops.cldprop_ncbands(
+                    clouds, self.static_np, inflag=cfg.inflag,
+                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                sec16 = _secdiff(prof.pwvcm, dtype)
+                if blocked or self.rt_pallas:
+                    taucb_dyn = cld_ops.expand_cloud_bands(
+                        tau_cb, ncb, sec16)
+                else:
+                    taucb_dyn_w = cld_ops.expand_cloud_bands(
+                        tau_cb, ncb, sec16, weighted=True)
             if cfg.icld == 1 and blocked:
                 # banded fused path: per-band cloud od stays at band
                 # resolution all the way into the kernel (expanded to
                 # g in-kernel); no (B, L, G) cloud arrays at all
-                taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
-                    clouds, self.static_np, inflag=cfg.inflag,
-                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                if taucb_dyn is not None:
+                    taucb_t = jnp.transpose(taucb_dyn, (1, 2, 0))
+                else:
+                    taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
+                        clouds, self.static_np, inflag=cfg.inflag,
+                        iceflag=cfg.iceflag, liqflag=cfg.liqflag)
                 cl8_t = jnp.pad(clouds.cldfrac.T[:, None, :],
                                 ((0, 0), (0, 7), (0, 0))).astype(dtype)
                 out = run_rt(None, None, True, 1.0e-6,
@@ -302,9 +329,12 @@ class RRTMGLW:
                 # Pallas rtrnmr: per-band cloud od + the 16 per-layer
                 # overlap-factor rows stream into the sweep kernel
                 from ..ops import rtrn_pallas as rtp
-                taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
-                    clouds, self.static_np, inflag=cfg.inflag,
-                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                if taucb_dyn is not None:
+                    taucb_t = jnp.transpose(taucb_dyn, (1, 2, 0))
+                else:
+                    taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
+                        clouds, self.static_np, inflag=cfg.inflag,
+                        iceflag=cfg.iceflag, liqflag=cfg.liqflag)
                 play, plev = (planck_args if planck_b
                               else (sc.planklay, sc.planklev))
                 out = rtp.rt_maxrandom_pallas(
@@ -316,14 +346,21 @@ class RRTMGLW:
                     istart=cfg.istart, iend=cfg.iend,
                     planck_blocked=planck_b)
             else:
-                taucloud, bounds_ok = cld_ops.cldprop(
-                    clouds, self.static_np, inflag=cfg.inflag,
-                    iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                weighted = taucb_dyn_w is not None
+                if weighted:
+                    taucloud = taucb_dyn_w
+                elif taucb_dyn is not None:
+                    taucloud = taucb_dyn
+                else:
+                    taucloud, bounds_ok = cld_ops.cldprop(
+                        clouds, self.static_np, inflag=cfg.inflag,
+                        iceflag=cfg.iceflag, liqflag=cfg.liqflag)
                 odcld_g = taucloud[..., self.ngb0][..., gsel]
                 if cfg.icld == 1:
                     cldf_g = jnp.broadcast_to(
                         clouds.cldfrac[..., None], (B, L, len(gsel)))
-                    out = run_rt(cldf_g, odcld_g, True, 1.0e-6)
+                    out = run_rt(cldf_g, odcld_g, True, 1.0e-6,
+                                 odcld_weighted=weighted)
                 else:
                     out = rtmr.rt_maxrandom(
                         taut, fracs, sc.planklay, sc.planklev,
@@ -332,7 +369,7 @@ class RRTMGLW:
                         static=self.static_np, luts=self.luts,
                         use_lut=cfg.use_lut, idrv=cfg.idrv,
                         heatfac_val=self.heatfac, istart=cfg.istart,
-                        iend=cfg.iend)
+                        iend=cfg.iend, odcld_weighted=weighted)
 
         uflx, dflx = out.totuflux, out.totdflux
         duflx_dt = out.dtotuflux_dt

@@ -13,34 +13,22 @@ The reference hard-stops on out-of-range particle sizes
 (cldprmc.f90:204-253); inside jit we clamp instead and return a boolean
 ``bounds_ok`` diagnostic.
 
-Instead of the reference's (ncbands, ipat) indirection we always expand
-cloud optical depth to the 16 real bands here (composing the icb band
-mapping), which removes the runtime-valued ``ncbands`` from the RT hot
-path.  This is numerically identical to the reference for every McICA
-mode and for the banded modes with ncbands=16 (inflag 0/1, iceflag 2/3,
-or any liqflag=1 layer — ipat(iband,2) is the identity,
-rrtmg_lw_rtrn.f90:252-254), which covers all 14 reference example
-cases.
-
-**Documented deviation — non-McICA iceflag=1 (Ebert & Curry).**  There
-the reference sets a *scalar* ``ncbands=5`` per pure-ice layer and 16
-per mixed layer inside the layer loop (rrtmg_lw_cldprop.f90:173-295),
-so the value that reaches rtrn/rtrnmr is whichever cloudy layer came
-*last*; rtrn then reads ``taucloud(lay, ipat(iband))`` and applies
-``secdiff(ipat(iband))`` (rrtmg_lw_rtrn.f90:337-348,:370).
-Consequences in the reference: (a) the cloud od is weighted by the
-secdiff of the *cloud* band (1-5), not the spectral band; (b) with
-mixed pure-ice and ice+liquid layers the result depends on layer
-ordering — under a final ncbands=16 a pure-ice layer contributes zero
-cloud od in bands 6-16 (it only wrote slots 1:5).  We do not reproduce
-this aliasing artifact: the banded iceflag=1 path uses the same
-per-spectral-band expansion as the reference's own McICA treatment
-(cldprmc.f90:164 icb map, secdiff(iband)), making it layer-order
-independent and consistent with cldprmc.
+Non-McICA cloud bands: for the configurations where the reference's
+runtime ``ncbands`` is statically 16 (``cloud_bands_static``: inflag
+0/1, or iceflag 2/3 with liqflag 1 — ipat(iband,2) is the identity,
+rrtmg_lw_rtrn.f90:252-254, covering all 14 reference example cases)
+``cldprop`` expands cloud optical depth straight to the 16 spectral
+bands, which keeps the runtime-valued ``ncbands`` out of the RT hot
+path.  The remaining configurations (iceflag 0/1, or liqflag=0) go
+through ``cldprop_ncbands`` + ``expand_cloud_bands``, which reproduce
+the reference's running-scalar ncbands, the ipat cloud-band mapping,
+the secdiff(cloud-band) weighting alias, and the layer-order
+dependence exactly (see cldprop_ncbands' docstring).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,10 +221,134 @@ def cloud_optics_bands_blocked(clouds, tables: dict, *, iceflag: int,
             jnp.transpose(abscoliq_b, (1, 2, 0)), ok)
 
 
+# rtrn/rtrnmr cloud-band patterns (rrtmg_lw_rtrn.f90:252-254): row 0
+# for ncbands=1, row 1 for ncbands=5, row 2 for ncbands=16 (identity)
+IPAT = np.array([[1] * 16,
+                 [1, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5, 5, 5, 5, 5, 5],
+                 list(range(1, 17))]) - 1
+
+
+def cloud_bands_static(inflag: int, iceflag: int, liqflag: int) -> bool:
+    """True when ncbands is statically 16 for every possible cloudy
+    layer, making the cloud-band -> spectral-band map the identity
+    (rrtmg_lw_cldprop.f90:191,197,229,245,278): inflag 0/1, or
+    inflag 2 with a 16-band ice parameterization AND Hu&Stamnes
+    liquid (a liquid-only layer under liqflag=0 would leave the
+    running ncbands untouched)."""
+    return inflag in (0, 1) or (iceflag in (2, 3) and liqflag == 1)
+
+
+def cldprop_ncbands(clouds: BandClouds, tables: dict, *, inflag: int,
+                    iceflag: int, liqflag: int):
+    """Faithful ``cldprop`` with the reference's running-scalar
+    ``ncbands`` semantics (rrtmg_lw_cldprop.f90:173-295) for the
+    configurations where the cloud-band space is NOT statically the
+    16 spectral bands (inflag=2 with iceflag 0/1, or liqflag=0).
+
+    Per cloudy layer the reference assigns ncbands (5 for an
+    Ebert&Curry ice layer, 16 when Hu&Stamnes liquid is present, both
+    in that order) and then writes ``taucloud(lay, 1..ncbands)`` with
+    the *current* value — so a layer whose composition assigns nothing
+    (pure ice with iceflag=0, or liquid-only with liqflag=0) writes
+    only as many slots as the running value left by earlier layers,
+    and rtrn/rtrnmr map spectral bands through ipat using the value
+    left by the LAST cloudy layer.  The iceind promotion quirk is
+    included: a pure-ice Ebert&Curry layer (no liquid contribution)
+    promotes iceind 1->2 (:263,268), storing the 5 regional
+    coefficients identity-mapped into cloud bands 1-5 instead of
+    through the icb regional map.
+
+    Returns (taucloud_cb (B, L, 16) in CLOUD-band slots,
+    ncbands_final (B,) int32 in {1, 5, 16}, bounds_ok (B, L)).
+    """
+    assert inflag == 2, "static configs use cldprop()"
+    dtype = clouds.tauc.dtype
+    B, L = clouds.cldfrac.shape
+    cwp = clouds.ciwp + clouds.clwp
+    tauctot = clouds.tauc.sum(axis=-1)
+    active = (clouds.cldfrac >= CLDMIN) & (
+        (cwp >= CLDMIN) | (tauctot >= CLDMIN))
+    has_ice = active & (clouds.ciwp > 0.0)
+    has_liq = active & (clouds.clwp > 0.0)
+
+    # per-layer ncbands assignment (0 = no assignment this layer):
+    # the ice block runs first, the liquid block second
+    upd = jnp.zeros((B, L), jnp.int32)
+    if iceflag == 1:
+        upd = jnp.where(has_ice, 5, upd)
+    elif iceflag in (2, 3):
+        upd = jnp.where(has_ice, 16, upd)
+    if liqflag == 1:
+        upd = jnp.where(has_liq, 16, upd)
+    # running value: forward-fill of the last assignment, init 1
+    lay_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    marked = jnp.where(upd > 0, lay_idx, -1)
+    last = jax.lax.cummax(marked, axis=1)
+    upd_at = jnp.take_along_axis(upd, jnp.maximum(last, 0), axis=1)
+    ncb_lay = jnp.where(last >= 0, upd_at, 1)          # (B, L)
+    ncbands = ncb_lay[:, -1]                           # (B,)
+
+    # per-cloud-band absorption coefficients
+    abscoice, abscoliq, ok = _ice_liq_coeffs(
+        clouds.reic, clouds.relq, iceflag, liqflag, tables, dtype)
+    if iceflag == 1:
+        # pure-ice layer (liqind=0): iceind 1->2, identity slots 1-5;
+        # mixed layer: icb regional map over 16 (what _ice_liq_coeffs
+        # already produced).  Rebuild the per-region values and select.
+        absice1 = jnp.asarray(tables["absice1"], dtype)
+        r = jnp.clip(clouds.reic, 13.0, 130.0)
+        per_region = absice1[0][None, None, :] + \
+            absice1[1][None, None, :] / r[..., None]   # (B, L, 5)
+        pure = jnp.pad(per_region, ((0, 0), (0, 0), (0, 11)),
+                       mode="edge")                    # slots 5+ unused
+        liq_present = has_liq if liqflag == 1 else \
+            jnp.zeros_like(has_liq)
+        abscoice = jnp.where(liq_present[..., None], abscoice, pure)
+    abscoice = jnp.where(clouds.ciwp[..., None] == 0.0, 0.0, abscoice)
+    abscoliq = jnp.where(clouds.clwp[..., None] == 0.0, 0.0, abscoliq)
+    taucloud = (clouds.ciwp[..., None] * abscoice
+                + clouds.clwp[..., None] * abscoliq)
+    # write bound: slots ib < ncbands(as of this layer); others stay 0
+    slot = jnp.arange(16, dtype=jnp.int32)
+    taucloud = jnp.where(slot[None, None, :] < ncb_lay[..., None],
+                         taucloud, 0.0)
+    taucloud = jnp.where(active[..., None], taucloud, 0.0)
+    return taucloud, ncbands, ok
+
+
+def expand_cloud_bands(taucloud_cb, ncbands, sec_band, weighted=False):
+    """Cloud-band taucloud -> per-SPECTRAL-band effective optical
+    depth, folding the reference's ``secdiff(ib)`` aliasing
+    (rrtmg_lw_rtrn.f90:321,343-348: the cloud od is weighted by the
+    diffusivity of the *cloud* band index, not the spectral band's).
+    ``sec_band`` is rtrn.secdiff(pwvcm) shaped (B, 16).
+
+    weighted=True (the XLA LUT paths): return the fully-weighted od
+    ``sec[b, ipat(iband)] * taucloud_cb[b, l, ipat(iband)]`` exactly as
+    the Fortran forms it — the consumer must NOT re-apply secdiff
+    (rtrn/rtrnmr ``odcld_weighted``).  The alternative ratio prefold
+    (weighted=False, used by the f32 Pallas paths whose kernels
+    hard-multiply the spectral band's secdiff) perturbs the od by an
+    ulp, which the f64 LUT quantizer can resolve.
+    """
+    row = ((ncbands == 5).astype(jnp.int32)
+           + 2 * (ncbands == 16).astype(jnp.int32))    # (B,) in 0..2
+    ipat_sel = jnp.asarray(IPAT, jnp.int32)[row]       # (B, 16)
+    tau_sel = jnp.take_along_axis(taucloud_cb,
+                                  ipat_sel[:, None, :], axis=2)
+    sec_sel = jnp.take_along_axis(sec_band, ipat_sel, axis=1)
+    if weighted:
+        return sec_sel[:, None, :] * tau_sel
+    return tau_sel * (sec_sel / sec_band)[:, None, :]
+
+
 def cldprop(clouds: BandClouds, tables: dict, *, inflag: int,
             iceflag: int, liqflag: int):
     """Per-band cloud optical depth expanded to the 16 real bands.
 
+    Valid for the statically-16-cloud-band configurations
+    (``cloud_bands_static``); the model routes the others through
+    ``cldprop_ncbands`` + ``expand_cloud_bands``.
     Returns (taucloud (B, L, 16), bounds_ok (B, L)).
     """
     dtype = clouds.tauc.dtype

@@ -110,7 +110,8 @@ def _tot_factors(odtot, luts, use_lut):
 
 
 def precompute(taut, cldf_g, odcld_g, cloudy_lay, cld_gate, fracs,
-               planklay, planklev, pwvcm, ngb0, luts, use_lut):
+               planklay, planklev, pwvcm, ngb0, luts, use_lut,
+               odcld_weighted=False):
     """Elementwise (B, L, G) precompute shared by all RT variants.
 
     Returns dict with atrans, atot, bbd (down source), bbugas, bbutot,
@@ -132,8 +133,15 @@ def precompute(taut, cldf_g, odcld_g, cloudy_lay, cld_gate, fracs,
     gassrc_dn = atrans * bbd
 
     # reference computes odcld only where the per-g/per-layer cloud gate
-    # holds (rtrnmc.f90:317-328 uses cldfmc==1; rtrn.f90:322 cldfrac>=1e-6)
-    odcld_eff = jnp.where(cld_gate, secd_g[:, None, :] * odcld_g, 0.0)
+    # holds (rtrnmc.f90:317-328 uses cldfmc==1; rtrn.f90:322 cldfrac>=1e-6).
+    # odcld_weighted: odcld_g already carries its secdiff factor (the
+    # runtime-ncbands path weights by the CLOUD band's secdiff,
+    # rtrn.f90:321 — it must not be re-applied, and folding a ratio
+    # instead would perturb the LUT quantization by an ulp)
+    odcld_eff = jnp.where(
+        cld_gate,
+        odcld_g if odcld_weighted else secd_g[:, None, :] * odcld_g,
+        0.0)
     abscld = 1.0 - jnp.exp(-odcld_eff)
     efclfrac = jnp.where(cld_gate, abscld * cldf_g, 0.0)
 
@@ -155,7 +163,8 @@ def _band_weights(delwave, ngb0, dtype):
 def rt_random_overlap(taut, fracs, planklay, planklev, plankbnd,
                       dplankbnd_dt, semiss, pwvcm, pz, cldf_g, odcld_g,
                       *, cloudy_lay, cld_gate, static, luts, use_lut=True,
-                      idrv=0, heatfac_val, istart=1, iend=16):
+                      idrv=0, heatfac_val, istart=1, iend=16,
+                      odcld_weighted=False):
     """Random-overlap / McICA RT (rtrnmc.f90 & rtrn.f90 semantics).
 
     All cloud inputs already per-g-point: cldf_g, odcld_g (B, L, G).
@@ -170,7 +179,8 @@ def rt_random_overlap(taut, fracs, planklay, planklev, plankbnd,
     ngb0 = ngb_full[gsel]
 
     pre = precompute(taut, cldf_g, odcld_g, cloudy_lay, cld_gate, fracs,
-                     planklay, planklev, pwvcm, ngb0, luts, use_lut)
+                     planklay, planklev, pwvcm, ngb0, luts, use_lut,
+                     odcld_weighted=odcld_weighted)
 
     # cloud-in-path-above flag, per level (reverse cumulative OR)
     iclddn = jnp.flip(jnp.cumsum(jnp.flip(

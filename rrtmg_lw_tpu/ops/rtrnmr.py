@@ -165,10 +165,10 @@ def _overlap_factors_down(cldfrac, cloudy):
 def rt_maxrandom(taut, fracs, planklay, planklev, plankbnd,
                  dplankbnd_dt, semiss, pwvcm, pz, cldfrac, odcld_g,
                  *, static, luts, use_lut=True, idrv=0, heatfac_val,
-                 istart=1, iend=16):
+                 istart=1, iend=16, odcld_weighted=False):
     """Maximum-random overlap RT (rtrnmr.f90).  cldfrac (B, L) per layer;
     odcld_g (B, L, G) per-g cloud od (per-band cloud od expanded by
-    band-of-g)."""
+    band-of-g; ``odcld_weighted`` when it already carries secdiff)."""
     dtype = taut.dtype
     B, L, G = taut.shape
     ngb_full = np.asarray(static["ngb"]) - 1
@@ -179,7 +179,8 @@ def rt_maxrandom(taut, fracs, planklay, planklev, plankbnd,
     cldf_g = jnp.broadcast_to(cldfrac[..., None], taut.shape)
     gate = jnp.broadcast_to(cloudy_lay[..., None], taut.shape)
     pre = precompute(taut, cldf_g, odcld_g, cloudy_lay, gate, fracs,
-                     planklay, planklev, pwvcm, ngb0, luts, use_lut)
+                     planklay, planklev, pwvcm, ngb0, luts, use_lut,
+                     odcld_weighted=odcld_weighted)
 
     (up_facs, istcld) = _overlap_factors_up(cldfrac, cloudy_lay)
     (dn_facs, istcldd) = _overlap_factors_down(cldfrac, cloudy_lay)

@@ -2,6 +2,14 @@
 
 Per-g-point serial loops over levels, exactly as the reference Fortran
 (rrtmg_lw_rtrnmc.f90:283-593, rrtmg_lw_rtrn.f90, rrtmg_lw_rtrnmr.f90).
+
+Non-McICA cloud input forms: ``cloud_bands=(taucloud_cb, ncbands)`` is
+the Fortran contract (cloud-band slots, ipat spectral-band mapping,
+secdiff of the CLOUD band — rtrn.f90:252,321,343-348).  The
+``odcld_band`` form (per-g od weighted by the spectral band's secdiff)
+matches the repo's pre-expanded convention and equals the Fortran only
+when ncbands=16; use cloud_bands when the runtime-ncbands aliasing is
+under test.
 """
 
 from __future__ import annotations
@@ -31,13 +39,23 @@ def _tbl_idx(x):
 def rtrnmc_1col(nlayers, pz, semiss, ngb, cldfmc, taucmc, planklay,
                 planklev, plankbnd, pwvcm, fracs, taut, luts, heatfac,
                 idrv=0, dplankbnd_dt=None, cldfrac_lay=None,
-                odcld_band=None, mcica=True):
+                odcld_band=None, mcica=True, cloud_bands=None):
     """rtrnmc (mcica=True) or rtrn (mcica=False, random overlap with
-    per-layer cldfrac_lay + per-g odcld_band already mapped to g)."""
+    per-layer cldfrac_lay + per-g odcld_band already mapped to g).
+
+    ``cloud_bands=(taucloud_cb (L,16), ncbands)``: non-McICA cloud od
+    straight from the Fortran cldprop contract — taucloud in CLOUD-band
+    slots, mapped per spectral band through ipat and weighted by
+    secdiff of the *cloud* band (rrtmg_lw_rtrn.f90:252,321,343-348).
+    Mutually exclusive with odcld_band."""
     tau_tbl, exp_tbl, tfn_tbl = (luts["tau_tbl"], luts["exp_tbl"],
                                  luts["tfn_tbl"])
     sec = secdiff_bands(pwvcm)
     ngpt = taut.shape[1]
+    if cloud_bands is not None:
+        from .cld import IPAT
+        taucloud_cb, ncbands = cloud_bands
+        ipat = IPAT[{1: 0, 5: 1, 16: 2}[int(ncbands)]]
 
     icldlyr = np.zeros(nlayers, np.int64)
     odcld = np.zeros((nlayers, ngpt))
@@ -54,7 +72,11 @@ def rtrnmc_1col(nlayers, pz, semiss, ngb, cldfmc, taucmc, planklay,
             else:
                 cloudy_g = cldfrac_lay[lay] >= 1.0e-6
                 cf = cldfrac_lay[lay]
-                oc = odcld_band[lay, ig]
+                if cloud_bands is not None:
+                    ib = ipat[ngb[ig]]
+                    oc = taucloud_cb[lay, ib]
+                else:
+                    oc = odcld_band[lay, ig]
             if cloudy_g:
                 odcld[lay, ig] = sec[ib] * oc
                 abscld[lay, ig] = 1.0 - np.exp(-odcld[lay, ig])
@@ -250,13 +272,20 @@ def rtrnmc_1col(nlayers, pz, semiss, ngb, cldfmc, taucmc, planklay,
 
 def rtrnmr_1col(nlayers, pz, semiss, ngb, cldfrac, odcld_band, planklay,
                 planklev, plankbnd, pwvcm, fracs, taut, luts, heatfac,
-                idrv=0, dplankbnd_dt=None):
+                idrv=0, dplankbnd_dt=None, cloud_bands=None):
     """rtrnmr.f90: maximum-random overlap; odcld_band (L, G) per g
-    (already mapped from cloud bands)."""
+    (already mapped from cloud bands), or
+    ``cloud_bands=(taucloud_cb (L,16), ncbands)`` for the Fortran
+    ipat/secdiff(cloud band) contract (rrtmg_lw_rtrnmr.f90:334-343,
+    514-520)."""
     tau_tbl, exp_tbl, tfn_tbl = (luts["tau_tbl"], luts["exp_tbl"],
                                  luts["tfn_tbl"])
     sec = secdiff_bands(pwvcm)
     ngpt = taut.shape[1]
+    if cloud_bands is not None:
+        from .cld import IPAT
+        taucloud_cb, ncbands = cloud_bands
+        ipat = IPAT[{1: 0, 5: 1, 16: 2}[int(ncbands)]]
 
     icldlyr = np.zeros(nlayers + 2, np.int64)
     odcld = np.zeros((nlayers + 1, ngpt))
@@ -264,7 +293,12 @@ def rtrnmr_1col(nlayers, pz, semiss, ngb, cldfrac, odcld_band, planklay,
         if cldfrac[lay - 1] >= 1.0e-6:
             icldlyr[lay] = 1
             for ig in range(ngpt):
-                odcld[lay, ig] = sec[ngb[ig]] * odcld_band[lay - 1, ig]
+                if cloud_bands is not None:
+                    ib = ipat[ngb[ig]]
+                    odcld[lay, ig] = sec[ib] * taucloud_cb[lay - 1, ib]
+                else:
+                    odcld[lay, ig] = sec[ngb[ig]] \
+                        * odcld_band[lay - 1, ig]
 
     cldf = np.zeros(nlayers + 2)
     cldf[1:nlayers + 1] = cldfrac

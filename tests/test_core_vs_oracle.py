@@ -108,13 +108,14 @@ def _mcica_clouds(seed=3):
 
 def _run_oracle_rt(prof, static, ktab, oracle_luts, c, *, cldfmc=None,
                    taucmc=None, cldfrac=None, odcld_band=None, idrv=0,
-                   mcica=True, maxrandom=False):
+                   mcica=True, maxrandom=False, cloud_bands=None):
     o = _oracle_sc(prof, static, c, idrv=idrv)
     tg, fr = osp.taumol_1col(
         NLAY, o, np.asarray(prof.pavel[c]), np.asarray(prof.wx[c]).T,
         np.asarray(prof.coldry[c]), ktab, static)
     ngb0 = np.asarray(static["ngb"]) - 1
-    kw = dict(idrv=idrv, dplankbnd_dt=o["dplankbnd_dt"])
+    kw = dict(idrv=idrv, dplankbnd_dt=o["dplankbnd_dt"],
+              cloud_bands=cloud_bands)
     if maxrandom:
         return ort.rtrnmr_1col(
             NLAY, np.asarray(prof.pz[c]), np.asarray(prof.semiss[c]), ngb0,
@@ -210,3 +211,98 @@ def test_deterministic_cloud_rt_matches_oracle(setup, icld):
                                    rtol=1e-6, atol=1e-9)
         np.testing.assert_allclose(np.asarray(fx.duflx_dt[c]),
                                    o["dtotuflux_dt"], rtol=1e-12)
+
+
+def _ec_band_clouds():
+    """Cloud field exercising the runtime-ncbands semantics: a mixed
+    ice+liquid layer, pure-ice layers BOTH before and after it (the
+    running ncbands then depends on layer order), and a liquid-only
+    layer.  Column 1 ends on a pure-ice layer (final ncbands=5 under
+    iceflag=1), column 0 on a mixed layer (final 16)."""
+    cldfrac = np.zeros((NCOL, NLAY))
+    ciwp = np.zeros((NCOL, NLAY))
+    clwp = np.zeros((NCOL, NLAY))
+    for c in range(NCOL):
+        cldfrac[c, 6] = 0.7; ciwp[c, 6] = 30.0              # pure ice
+        cldfrac[c, 10] = 0.5; ciwp[c, 10] = 20.0; clwp[c, 10] = 12.0
+        cldfrac[c, 14] = 0.9; clwp[c, 14] = 18.0            # liquid only
+    # column 1: a pure-ice layer ABOVE the mixed one
+    cldfrac[1, 20] = 0.6; ciwp[1, 20] = 25.0
+    return BandClouds(
+        cldfrac=jnp.asarray(cldfrac),
+        tauc=jnp.zeros((NCOL, NLAY, 16)),
+        ciwp=jnp.asarray(ciwp), clwp=jnp.asarray(clwp),
+        reic=jnp.full((NCOL, NLAY), 70.0),
+        relq=jnp.full((NCOL, NLAY), 10.0))
+
+
+@pytest.mark.parametrize("icld", [1, 2])
+@pytest.mark.parametrize("iceflag,liqflag",
+                         [(1, 1), (1, 0), (0, 1), (0, 0), (3, 0)])
+def test_runtime_ncbands_rt_matches_oracle(setup, icld, iceflag, liqflag):
+    """Non-McICA configs where the reference's runtime ncbands/ipat
+    cloud-band aliasing is live (iceflag 0/1 or liqflag 0,
+    rrtmg_lw_cldprop.f90:173-295 + rtrn.f90:252,321-348): the model's
+    prefolded expansion must match the oracle's independent scalar
+    transcription of cldprop + the ipat/secdiff(cloud band) RT
+    contract, including the layer-order dependence."""
+    from oracle import cld as ocld
+    from rrtmg_lw_tpu.ops.cldprop import cldprop_ncbands, \
+        cloud_bands_static
+    assert not cloud_bands_static(2, iceflag, liqflag)
+    atm, prof, static, ktab, model, oracle_luts = setup
+    clouds = _ec_band_clouds()
+    model = RRTMGLW(LWConfig(icld=icld, imca=0, inflag=2,
+                             iceflag=iceflag, liqflag=liqflag))
+    fx = jax.jit(lambda a, cl: model(a, cl))(atm, clouds)
+
+    tau_cb, ncb, _ = cldprop_ncbands(clouds, static, inflag=2,
+                                     iceflag=iceflag, liqflag=liqflag)
+    # the oracle RT consumes the model's own taut/fracs (bitwise
+    # identical planck too): taumol independence is covered by
+    # test_taumol_matches_oracle, and sharing the gas od keeps this
+    # cloud-band-contract comparison bitwise-tight — a ~1 ulp taumol
+    # difference otherwise flips tau_tbl quantizer cells (~1e-7 flux)
+    sc, taut, fracs = model.optical_depth(prof)
+    ngb0 = np.asarray(static["ngb"]) - 1
+    for c in range(NCOL):
+        ncb_o, tau_o = ocld.cldprop_1col(
+            NLAY, 2, iceflag, liqflag, np.asarray(clouds.cldfrac[c]),
+            np.asarray(clouds.tauc[c]).T, np.asarray(clouds.ciwp[c]),
+            np.asarray(clouds.clwp[c]), np.asarray(clouds.reic[c]),
+            np.asarray(clouds.relq[c]), static)
+        assert int(ncb[c]) == ncb_o, f"col {c}"
+        np.testing.assert_allclose(np.asarray(tau_cb[c]), tau_o,
+                                   rtol=1e-12, atol=1e-300)
+        common = (np.asarray(sc.planklay[c]), np.asarray(sc.planklev[c]),
+                  np.asarray(sc.plankbnd[c]), float(prof.pwvcm[c]),
+                  np.asarray(fracs[c]), np.asarray(taut[c]),
+                  oracle_luts, heatfac())
+        if icld == 2:
+            o = ort.rtrnmr_1col(
+                NLAY, np.asarray(prof.pz[c]), np.asarray(prof.semiss[c]),
+                ngb0, np.asarray(clouds.cldfrac[c]), None, *common,
+                cloud_bands=(tau_o, ncb_o))
+        else:
+            o = ort.rtrnmc_1col(
+                NLAY, np.asarray(prof.pz[c]), np.asarray(prof.semiss[c]),
+                ngb0, None, None, *common,
+                cldfrac_lay=np.asarray(clouds.cldfrac[c]),
+                mcica=False, cloud_bands=(tau_o, ncb_o))
+        # tolerance: the model's in-jit taumol can differ from the
+        # shared taut by fusion-order ulps, which the tau_tbl
+        # quantizer can amplify to ~1e-7 W/m2; mapping errors in the
+        # ncbands/ipat/secdiff contract are O(0.1-10) W/m2
+        np.testing.assert_allclose(np.asarray(fx.uflx[c]), o["totuflux"],
+                                   rtol=1e-6,
+                                   err_msg=f"c{c} ice{iceflag}")
+        np.testing.assert_allclose(np.asarray(fx.dflx[c]), o["totdflux"],
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fx.hr[c]), o["htr"],
+                                   rtol=1e-4, atol=1e-5)
+    if iceflag == 1 and liqflag == 1:
+        # the layer-order quirk is live: the two columns' final
+        # ncbands differ even though their layer compositions overlap
+        # (column 0 ends on the liquid layer -> 16, column 1 on a
+        # pure-ice layer -> 5)
+        assert int(ncb[0]) == 16 and int(ncb[1]) == 5
