@@ -138,8 +138,9 @@ class RRTMGLW:
         rtmr_pallas = False
         if uses_rtmr and self.rt_pallas:
             from ..ops import rtrn_pallas as _rtp
-            rtmr_pallas = _rtp.maxrand_supported(L, len(gsel),
-                                                 idrv=cfg.idrv)
+            rtmr_pallas = _rtp.maxrand_supported(
+                L, len(gsel), tile=_rtp.default_tile(B),
+                idrv=cfg.idrv)
         blocked_ok = (len(gsel) == 140
                       and spec_constraint is None
                       and hasattr(self.engine, "supports_blocked")
@@ -168,7 +169,8 @@ class RRTMGLW:
             # eliminate under jit (plankbnd/dplankbnd stay XLA).
             if B % 128 == 0:
                 from ..ops.planck_pallas import planck_interp_blocked
-                ptile = max(t for t in (512, 256, 128) if B % t == 0)
+                ptile = max(t for t in (2048, 1024, 512, 256, 128)
+                            if B % t == 0)
                 totplnk = self.static["totplnk"]
                 planck_args = (
                     planck_interp_blocked(prof.tavel.T, totplnk,

@@ -686,7 +686,7 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                      dplankbnd_dt, semiss, pwvcm, cldf_g, odcld_g,
                      taua=None, *, gate_thresh, ngb0, delwave, cloudy,
                      idrv, native=False, clouds_blocked=False,
-                     planck_blocked=False, cloud_fields=None, tile=128,
+                     planck_blocked=False, cloud_fields=None, tile=None,
                      lc_clear=20, lc_cloudy=12, interpret=False):
     """Band-integrated fluxes (B, L+1) x {up, down, clrup, clrdn}
     [+ dup/dT, dclrup/dT] via the fused Pallas sweep kernel.
@@ -714,6 +714,8 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     assert dtype == jnp.float32
     # launch-shape A/B knobs (tools/ab_matrix.py sweeps these on-chip;
     # read at trace time, so each setting needs a fresh jit)
+    if tile is None:
+        tile = default_tile(B)
     tile = int(os.environ.get("RRTMG_RT_TILE", tile))
     Lc = lc_cloudy if cloudy else lc_clear
     Lc = int(os.environ.get("RRTMG_RT_LC", Lc))
@@ -854,7 +856,7 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                              static, idrv, heatfac_val, istart=1,
                              iend=16, native=False, clouds_blocked=False,
                              planck_blocked=False, cloud_fields=None,
-                             tile=128, interpret=False):
+                             tile=None, interpret=False):
     """Drop-in for rtrn.rt_random_overlap on TPU/f32/use_lut=False.
 
     Forward fluxes come from the Pallas kernel; reverse-mode runs
@@ -985,10 +987,20 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
                         htrc)
 
 
+def default_tile(B):
+    """Launch column tile for the sweep kernel: 256 when it divides B
+    (AB_MATRIX winner on v5e — ~5% clear / ~7% cloudy over 128 at
+    B=16k), else 128 (padded for non-blocked layouts, required
+    divisor for blocked).  RRTMG_RT_TILE still overrides at trace
+    time."""
+    return 256 if B % 256 == 0 else 128
+
+
 def maxrand_supported(L, G, tile=128, idrv=0):
     """True when the Pallas rtrnmr path's VMEM budget holds (same
     _vmem_plan as rt_fluxes_pallas; the max-random recursion requires
-    the level-cache layout — resident or chunked-input cache-only)."""
+    the level-cache layout — resident or chunked-input cache-only).
+    Pass tile=default_tile(B) to match what the launch will use."""
     Lc = min(12, L)
     Lc = next(d for d in range(Lc, 0, -1) if L % d == 0)
     _, cache = _vmem_plan(L, Lc, _pad_to(G, 8), tile, cloudy=True,
@@ -1000,7 +1012,7 @@ def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
                         dplankbnd_dt, semiss, pwvcm, pz, cldfrac,
                         taucb_t, taua=None, *, static, idrv,
                         heatfac_val, istart=1, iend=16,
-                        planck_blocked=False, tile=128,
+                        planck_blocked=False, tile=None,
                         interpret=False):
     """Pallas maximum-random overlap RT (rtrnmr.f90) for the blocked
     layout: taut/fracs (L, G_pad, B) from the taumol kernel, per-band

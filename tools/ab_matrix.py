@@ -50,6 +50,14 @@ CONFIGS = [
     ("ptile1024", {"RRTMG_PLANCK_TILE": "1024"}),
     ("no_resident", {"RRTMG_RT_NO_RESIDENT": "1"}),
     ("no_cache", {"RRTMG_RT_NO_CACHE": "1"}),
+    # combos of the round-1 single-knob winners (tile256 cloudy,
+    # ptile2048 clear, lc30 marginal) — same-process so the chained
+    # timing stays comparable
+    ("t256_p2048", {"RRTMG_RT_TILE": "256", "RRTMG_PLANCK_TILE": "2048"}),
+    ("t256_lc30", {"RRTMG_RT_TILE": "256", "RRTMG_RT_LC": "30"}),
+    ("t256_lc30_p2048", {"RRTMG_RT_TILE": "256", "RRTMG_RT_LC": "30",
+                         "RRTMG_PLANCK_TILE": "2048"}),
+    ("t256_nores", {"RRTMG_RT_TILE": "256", "RRTMG_RT_NO_RESIDENT": "1"}),
 ]
 
 
