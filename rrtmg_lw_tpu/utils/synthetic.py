@@ -4,6 +4,13 @@ These are physically-plausible analytic profiles — NOT the reference's
 standard atmospheres (those live in the column-mode RRTATM port,
 rrtmg_lw_tpu.io.atmospheres). They exist so every part of the framework
 can be exercised end-to-end without external data.
+
+All arrays are returned as HOST numpy arrays: these generators feed
+the streaming pipeline (parallel.stream.prefetch / shard_batch does
+the one H2D transfer), and a jnp.asarray here would ship every
+intermediate to the device — catastrophic over the axon tunnel
+(~57 s/batch at ncol=16k measured, vs ~0.1 s host-side).  JAX
+consumes numpy-backed pytrees as jit arguments transparently.
 """
 
 from __future__ import annotations
@@ -60,7 +67,7 @@ def make_atmosphere(ncol=4, nlay=51, seed=0, dtype=jnp.float64,
         tauaer = aod * w[:, :, None] * band
 
     def arr(x):
-        return jnp.asarray(x, dtype)
+        return np.asarray(x, dtype)
 
     return Atmosphere(
         play=arr(play), plev=arr(plev), tlay=arr(tlay), tlev=arr(tlev),
@@ -83,14 +90,20 @@ def make_band_clouds(ncol=4, nlay=51, seed=1, dtype=jnp.float64):
     clwp = np.zeros((ncol, nlay))
     lo = 3 + rng.integers(0, 3, ncol)
     hi = nlay // 2 + rng.integers(0, 3, ncol)
-    for c in range(ncol):
-        cldfrac[c, lo[c]:lo[c] + 3] = 0.4 + 0.4 * rng.random()
-        clwp[c, lo[c]:lo[c] + 3] = 20.0 + 30.0 * rng.random()
-        cldfrac[c, hi[c]:hi[c] + 2] = 0.3 + 0.5 * rng.random()
-        ciwp[c, hi[c]:hi[c] + 2] = 10.0 + 20.0 * rng.random()
+    cols = np.arange(ncol)
+    lo_rows = lo[:, None] + np.arange(3)           # (ncol, 3)
+    hi_rows = hi[:, None] + np.arange(2)           # (ncol, 2)
+    cldfrac[cols[:, None], lo_rows] = \
+        (0.4 + 0.4 * rng.random((ncol, 1)))
+    clwp[cols[:, None], lo_rows] = \
+        (20.0 + 30.0 * rng.random((ncol, 1)))
+    cldfrac[cols[:, None], hi_rows] = \
+        (0.3 + 0.5 * rng.random((ncol, 1)))
+    ciwp[cols[:, None], hi_rows] = \
+        (10.0 + 20.0 * rng.random((ncol, 1)))
 
     def arr(x):
-        return jnp.asarray(x, dtype)
+        return np.asarray(x, dtype)
 
     return BandClouds(
         cldfrac=arr(cldfrac), tauc=arr(np.zeros((ncol, nlay, 16))),
@@ -111,53 +124,68 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
     GCM-mode populations; the RT kernel's cloud gate skips their
     cloudy stream)."""
     rng = np.random.default_rng(seed)
-    cldf = np.zeros((ncol, nlay, ngpt))
-    ciwp = np.zeros((ncol, nlay, ngpt))
-    clwp = np.zeros((ncol, nlay, ngpt))
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
     lo = 3 + rng.integers(0, 3, ncol)
-    cloudy_cols = range(int(round(clear_frac * ncol)), ncol)
-    for c in cloudy_cols:
-        lays = slice(lo[c], lo[c] + 4)
-        mask = rng.random((4, ngpt)) < 0.6
-        cldf[c, lays] = mask
-        clwp[c, lays] = np.where(mask, 25.0 + 20.0 * rng.random(), 0.0)
-        ciwp[c, lays] = np.where(mask, 5.0 * rng.random(), 0.0)
+    first = int(round(clear_frac * ncol))
+    ncld = ncol - first
+    cols = np.arange(first, ncol)
+    rows = lo[cols, None] + np.arange(4)            # (ncld, 4)
+    if ncld:
+        m = rng.random((ncld, 4, ngpt)) < 0.6
+        cw = 25.0 + 20.0 * rng.random((ncld, 1, 1))
+        ci = 5.0 * rng.random((ncld, 1, 1))
+    else:
+        m = np.zeros((0, 4, ngpt), bool)
+        cw = ci = np.zeros((0, 1, 1))
 
     def arr(x):
-        return jnp.asarray(x, dtype)
+        return np.asarray(x, dtype)
 
-    tauc = np.zeros((ncol, nlay, ngpt))
     reic = np.full((ncol, nlay), 30.0)
     relq = np.full((ncol, nlay), 10.0)
+    gp = -(-ngpt // 8) * 8
+
+    def fill_blocked(values, out_dtype=npdt):
+        """(nlay, gp, ncol) array with values[c, j, g] at
+        [rows[c, j], g, cols[c]] — only the ~4 cloudy layers per
+        column are touched, so no (B, L, G) transpose/pad pass over
+        the (mostly zero) batch layout is ever materialized (that
+        np.pad cost ~8 s per array at ncol=16k)."""
+        out = np.zeros((nlay, gp, ncol), out_dtype)
+        for j in range(4):                 # 4 scattered row-writes
+            out[rows[:, j], :ngpt, cols] = values[:, j, :]
+        return out
+
     if layout == "compact":
         # generator form: binary mask + per-layer water paths (the
-        # synthetic ciwp/clwp above are constant across g inside a
-        # layer by construction, like mcica_subcol_lw's outputs)
+        # synthetic per-g paths are constant across g inside a layer
+        # by construction, like mcica_subcol_lw's outputs)
         from ..types import McicaCloudsCompact
-        gp = -(-ngpt // 8) * 8
-        mask = np.pad(np.transpose(cldf, (1, 2, 0)),
-                      ((0, 0), (0, gp - ngpt), (0, 0)))
-        if mask_dtype is not None:
-            mask = mask.astype(mask_dtype)
-            return McicaCloudsCompact(
-                cldfmc=jnp.asarray(mask), ciwp=arr(ciwp.max(axis=2)),
-                clwp=arr(clwp.max(axis=2)), reicmc=arr(reic),
-                relqmc=arr(relq))
-        ciwp_l = ciwp.max(axis=2)           # (ncol, nlay)
-        clwp_l = clwp.max(axis=2)
+        mask = fill_blocked(m, npdt if mask_dtype is None
+                            else mask_dtype)
+        anyc = m.any(axis=2)                        # (ncld, 4)
+        ciwp_l = np.zeros((ncol, nlay))
+        clwp_l = np.zeros((ncol, nlay))
+        ciwp_l[cols[:, None], rows] = np.where(anyc, ci[:, :, 0], 0.0)
+        clwp_l[cols[:, None], rows] = np.where(anyc, cw[:, :, 0], 0.0)
         return McicaCloudsCompact(
-            cldfmc=arr(mask), ciwp=arr(ciwp_l), clwp=arr(clwp_l),
+            cldfmc=mask, ciwp=arr(ciwp_l), clwp=arr(clwp_l),
             reicmc=arr(reic), relqmc=arr(relq))
     if layout == "blocked":
-        gp = -(-ngpt // 8) * 8
-
-        def t(x):                           # -> (L, NGPT_PAD, B)
-            xt = np.transpose(x, (1, 2, 0))
-            return np.pad(xt, ((0, 0), (0, gp - ngpt), (0, 0)))
         return McicaCloudsBlocked(
-            cldfmc=arr(t(cldf)), ciwpmc=arr(t(ciwp)),
-            clwpmc=arr(t(clwp)), taucmc=arr(t(tauc)),
+            cldfmc=fill_blocked(m),
+            ciwpmc=fill_blocked(np.where(m, ci, 0.0)),
+            clwpmc=fill_blocked(np.where(m, cw, 0.0)),
+            taucmc=np.zeros((nlay, gp, ncol), npdt),
             reicmc=arr(reic), relqmc=arr(relq))
+    cldf = np.zeros((ncol, nlay, ngpt), npdt)
+    ciwp = np.zeros((ncol, nlay, ngpt), npdt)
+    clwp = np.zeros((ncol, nlay, ngpt), npdt)
+    if ncld:
+        cldf[cols[:, None], rows] = m
+        clwp[cols[:, None], rows] = np.where(m, cw, 0.0)
+        ciwp[cols[:, None], rows] = np.where(m, ci, 0.0)
+    tauc = np.zeros((ncol, nlay, ngpt), npdt)
     return McicaClouds(
         cldfmc=arr(cldf), ciwpmc=arr(ciwp), clwpmc=arr(clwp),
         taucmc=arr(tauc), reicmc=arr(reic), relqmc=arr(relq))
