@@ -2,11 +2,25 @@
 
 Runs the flagship pipeline (clear-sky and McICA cloudy-sky) on whatever
 backend JAX provides (one real TPU chip under the driver) and prints ONE
-JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no speed numbers (BASELINE.md) — its column loop
-is serial Fortran.  vs_baseline is measured against the recorded
-first-round value in bench_baseline.json when present, else 1.0.
+Protocol (documented in PERF_NOTES.md):
+- Generators return HOST numpy (streaming contract); the bench
+  `jax.device_put`s each workload ONCE before the timed loop and
+  asserts every timed argument is a committed `jax.Array` — so an
+  input-transfer regression can never masquerade as kernel time
+  (round-2 postmortem: host-resident args re-uploaded ~370 MB per
+  timed iteration over the axon tunnel, 100x collapse).
+- Chained timing: each iteration's input depends on the previous
+  output (the runtime cannot coalesce identical dispatches).
+- Each workload runs REPEATS timed windows; best window is reported
+  with the relative spread, per-workload, as JSON lines on stderr and
+  in BENCH_DETAIL.json.  The official stdout line is computed from
+  the best windows of the two headline workloads (clear + McICA
+  cloudy at B=BENCH_NCOLS, nlay=BENCH_NLAY).
+- vs_baseline compares against bench_baseline.json (same-shape entry
+  re-pinned each round; reference publishes no speed numbers).
 """
 
 from __future__ import annotations
@@ -14,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import sys
 import time
 
 import numpy as np
@@ -29,18 +44,42 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def _bench_one(step, args, iters):
-    """Chained timing: each iteration's input depends on the previous
-    output, so the runtime cannot coalesce/dedup repeated executions
-    (observed with the axon remote backend on identical dispatches)."""
+def _assert_device_resident(tree, what):
+    """Every timed argument must already live on the device, committed,
+    or the timed loop measures H2D transfers instead of kernels."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if leaf is None:
+            continue
+        if not isinstance(leaf, jax.Array):
+            raise AssertionError(
+                f"bench input {what}{jax.tree_util.keystr(path)} is "
+                f"{type(leaf).__name__}, not a device-resident "
+                f"jax.Array — the timed loop would re-upload it every "
+                f"iteration")
+        if not leaf.committed:
+            raise AssertionError(
+                f"bench input {what}{jax.tree_util.keystr(path)} is "
+                f"an uncommitted jax.Array — placement is not pinned")
+
+
+def _bench_one(step, args, iters, repeats=3):
+    """Best-of-`repeats` chained-timing windows; returns
+    (best_seconds_per_iter, relative_spread)."""
+    for i, a in enumerate(args):
+        _assert_device_resident(a, f"arg{i}")
     eps = jnp.zeros((), jnp.float32)
     out, eps = step(*args, eps)            # compile + warm
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, eps = step(*args, eps)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, eps = step(*args, eps)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    best = min(times)
+    spread = (max(times) - best) / best if best > 0 else 0.0
+    return best, spread
 
 
 def _probe_backend(timeout_s):
@@ -49,7 +88,6 @@ def _probe_backend(timeout_s):
     with no error, so probe with a hard timeout and fall back to CPU
     rather than hang the whole bench run."""
     import subprocess
-    import sys
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
@@ -62,6 +100,7 @@ def _probe_backend(timeout_s):
 
 def main():
     from rrtmg_lw_tpu import LWConfig, make_model
+    from rrtmg_lw_tpu.ops.rtrn_pallas import resolve_tile
     from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
                                               make_mcica_clouds)
 
@@ -70,26 +109,33 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     platform = jax.default_backend()
+    dev = jax.devices()[0]
     ncol = int(os.environ.get("BENCH_NCOLS",
                               16384 if platform == "tpu" else 256))
     nlay = int(os.environ.get("BENCH_NLAY", 60))
     iters = int(os.environ.get("BENCH_ITERS",
                                10 if platform == "tpu" else 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    deep_nlay = int(os.environ.get("BENCH_DEEP_NLAY", 140))
+    deep_ncol = int(os.environ.get(
+        "BENCH_DEEP_NCOLS", 4096 if platform == "tpu" else 128))
+    run_deep = os.environ.get("BENCH_DEEP", "1" if platform == "tpu"
+                              else "0") == "1"
     dtype = jnp.float32
 
-    atm = make_atmosphere(ncol=ncol, nlay=nlay, dtype=dtype)
+    def put(tree):
+        return jax.device_put(tree, dev)
+
     # clouds in the generator-form compact layout on TPU: the binary
     # sub-column mask at g resolution (g-major like the reference's
     # cldfmcl(ngptlw, ncol, nlay)) + per-layer water paths; the
     # per-g products are re-formed inside the RT kernel (bitwise
     # identical to the blocked layout at 1/4 the HBM traffic)
     layout = "compact" if platform == "tpu" else "batch"
-    clouds = make_mcica_clouds(
-        ncol=ncol, nlay=nlay, dtype=dtype, layout=layout,
-        mask_dtype=np.int8 if layout == "compact" else None)
 
-    # clear-sky step
     clr_model = make_model(LWConfig(icld=0, dtype="float32",
+                                    use_lut=False))
+    cld_model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
                                     use_lut=False))
 
     @jax.jit
@@ -97,31 +143,74 @@ def main():
         fl = clr_model(a._replace(tlay=a.tlay + eps), None)
         return fl, fl.uflx[0, 0] * 1e-20
 
-    t_clr = _bench_one(clr_step, (atm,), iters)
-
-    # McICA cloudy step
-    cld_model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
-                                    use_lut=False))
-
     @jax.jit
     def cld_step(a, c, eps):
         fl = cld_model(a._replace(tlay=a.tlay + eps), c)
         return fl, fl.uflx[0, 0] * 1e-20
 
-    t_cld = _bench_one(cld_step, (atm, clouds), iters)
+    detail = []
+
+    def record(name, B, L, t, spread, extra=None):
+        row = {"workload": name, "ncol": B, "nlay": L,
+               "layout": layout, "tile": resolve_tile(B),
+               "ms_per_step": round(t * 1e3, 3),
+               "cols_per_sec": round(B / t, 1),
+               "spread": round(spread, 4),
+               "iters": iters, "repeats": repeats,
+               "platform": platform}
+        if extra:
+            row.update(extra)
+        detail.append(row)
+        print(json.dumps(row), file=sys.stderr)
+        return row
+
+    # headline workloads
+    atm = put(make_atmosphere(ncol=ncol, nlay=nlay, dtype=dtype))
+    clouds = put(make_mcica_clouds(
+        ncol=ncol, nlay=nlay, dtype=dtype, layout=layout,
+        mask_dtype=np.int8 if layout == "compact" else None))
+
+    t_clr, s_clr = _bench_one(clr_step, (atm,), iters, repeats)
+    record("clear", ncol, nlay, t_clr, s_clr)
+    t_cld, s_cld = _bench_one(cld_step, (atm, clouds), iters, repeats)
+    record("mcica_cloudy", ncol, nlay, t_cld, s_cld)
+
+    # deep-atmosphere workload (GCM production depths)
+    if run_deep:
+        atm_d = put(make_atmosphere(ncol=deep_ncol, nlay=deep_nlay,
+                                    dtype=dtype))
+        clouds_d = put(make_mcica_clouds(
+            ncol=deep_ncol, nlay=deep_nlay, dtype=dtype, layout=layout,
+            mask_dtype=np.int8 if layout == "compact" else None))
+        t_d, s_d = _bench_one(cld_step, (atm_d, clouds_d),
+                              max(3, iters // 2), repeats)
+        record("mcica_cloudy_deep", deep_ncol, deep_nlay, t_d, s_d)
 
     cols_per_sec = 2.0 * ncol / (t_clr + t_cld)
 
     base_path = REPO / "bench_baseline.json"
     vs = 1.0
+    ref = 0.0
     if base_path.exists():
         try:
             base = json.loads(base_path.read_text())
-            ref = float(base.get(platform, base.get("value", 0.0)))
+            entry = base.get(platform, base.get("value", 0.0))
+            if isinstance(entry, dict):
+                ref = float(entry.get("cols_per_sec", 0.0))
+            else:
+                ref = float(entry)
             if ref > 0:
                 vs = cols_per_sec / ref
         except Exception:
             pass
+
+    try:
+        (REPO / "BENCH_DETAIL.json").write_text(
+            json.dumps({"detail": detail,
+                        "headline_cols_per_sec": round(cols_per_sec, 1),
+                        "baseline": ref}, indent=1))
+    except OSError:
+        pass
 
     print(json.dumps({
         "metric": f"columns_per_sec_{platform}_clr+mcica_nlay{nlay}",

@@ -139,7 +139,7 @@ class RRTMGLW:
         if uses_rtmr and self.rt_pallas:
             from ..ops import rtrn_pallas as _rtp
             rtmr_pallas = _rtp.maxrand_supported(
-                L, len(gsel), tile=_rtp.default_tile(B),
+                L, len(gsel), tile=_rtp.resolve_tile(B),
                 idrv=cfg.idrv)
         blocked_ok = (len(gsel) == 140
                       and spec_constraint is None

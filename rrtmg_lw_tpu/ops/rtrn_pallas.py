@@ -715,8 +715,9 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     # launch-shape A/B knobs (tools/ab_matrix.py sweeps these on-chip;
     # read at trace time, so each setting needs a fresh jit)
     if tile is None:
-        tile = default_tile(B)
-    tile = int(os.environ.get("RRTMG_RT_TILE", tile))
+        tile = resolve_tile(B)
+    else:
+        tile = int(os.environ.get("RRTMG_RT_TILE", tile))
     Lc = lc_cloudy if cloudy else lc_clear
     Lc = int(os.environ.get("RRTMG_RT_LC", Lc))
     Lc = min(Lc, L)
@@ -994,6 +995,15 @@ def default_tile(B):
     divisor for blocked).  RRTMG_RT_TILE still overrides at trace
     time."""
     return 256 if B % 256 == 0 else 128
+
+
+def resolve_tile(B):
+    """The column tile the launch will actually use: default_tile(B)
+    with the RRTMG_RT_TILE env override applied.  The one place the
+    override is resolved — model-level VMEM gates (maxrand_supported)
+    and the kernel launch must agree on the tile or the gate checks a
+    different budget than the launch consumes."""
+    return int(os.environ.get("RRTMG_RT_TILE", default_tile(B)))
 
 
 def maxrand_supported(L, G, tile=128, idrv=0):

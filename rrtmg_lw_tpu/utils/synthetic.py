@@ -91,8 +91,10 @@ def make_band_clouds(ncol=4, nlay=51, seed=1, dtype=jnp.float64):
     lo = 3 + rng.integers(0, 3, ncol)
     hi = nlay // 2 + rng.integers(0, 3, ncol)
     cols = np.arange(ncol)
-    lo_rows = lo[:, None] + np.arange(3)           # (ncol, 3)
-    hi_rows = hi[:, None] + np.arange(2)           # (ncol, 2)
+    # clip to the top layer for tiny nlay (the old slice assignments
+    # silently clipped out-of-range layers; keep that tolerance)
+    lo_rows = np.minimum(lo[:, None] + np.arange(3), nlay - 1)  # (ncol, 3)
+    hi_rows = np.minimum(hi[:, None] + np.arange(2), nlay - 1)  # (ncol, 2)
     cldfrac[cols[:, None], lo_rows] = \
         (0.4 + 0.4 * rng.random((ncol, 1)))
     clwp[cols[:, None], lo_rows] = \
@@ -129,7 +131,7 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
     first = int(round(clear_frac * ncol))
     ncld = ncol - first
     cols = np.arange(first, ncol)
-    rows = lo[cols, None] + np.arange(4)            # (ncld, 4)
+    rows = np.minimum(lo[cols, None] + np.arange(4), nlay - 1)  # (ncld, 4)
     if ncld:
         m = rng.random((ncld, 4, ngpt)) < 0.6
         cw = 25.0 + 20.0 * rng.random((ncld, 1, 1))

@@ -21,6 +21,7 @@ from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
 
 
 def _fd(f, x, idx, eps):
+    x = jnp.asarray(x)     # generators return host numpy (by contract)
     xp = x.at[idx].add(eps)
     xm = x.at[idx].add(-eps)
     return (f(xp) - f(xm)) / (2.0 * eps)

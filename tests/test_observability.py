@@ -40,7 +40,7 @@ def test_cld_bounds_flag_surfaces():
     assert fl.cld_bounds_ok.shape == (2, 16)
     assert bool(jnp.all(fl.cld_bounds_ok))
     # out-of-range ice size flips the flag without aborting
-    bad = cl._replace(reicmc=cl.reicmc.at[0, 3].set(500.0))
+    bad = cl._replace(reicmc=jnp.asarray(cl.reicmc).at[0, 3].set(500.0))
     fl2 = m(atm, bad)
     assert not bool(fl2.cld_bounds_ok[0, 3])
     assert np.isfinite(np.asarray(fl2.uflx)).all()
