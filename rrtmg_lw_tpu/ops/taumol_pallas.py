@@ -36,6 +36,17 @@ to 8-row chunks so every sublane slice is aligned.  Everything for a
 tile of T cells stays in VMEM; HBM traffic is the packed per-cell
 scalars in and (140, T) taug/fracs blocks out.
 
+setcoef (rrtmg_lw_setcoef.f90:256-434) is FUSED into the kernel: the
+inputs are 15 raw profile rows (pavel/tavel/coldry/wbrodl/wkl/wx) plus
+the two discrete log(pavel)-derived values (jp, laytrop) from XLA, and
+every interpolation index/fraction/column amount is recomputed in VMEM
+(see the F_FIELDS comment for the exactness argument).  This removes
+the 37-row packed-scalar HBM round trip, the XLA-side one-hot
+tref/chi selection matmuls and most of the pack transpose/concat glue
+(~1.5 ms/step at B=16k), while the SetcoefOut-consuming API stays
+unchanged — the unused XLA setcoef outputs dead-code eliminate under
+jit.
+
 Numerics: tables and fac weights ship as nsplit/nsplit_w-level bf16
 decompositions summed in f32 on the MXU.  At the default 2 levels the
 effective table precision is ~2^-17 relative (measured max 7.6e-6) —
@@ -47,6 +58,7 @@ golden-parity reference.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -63,19 +75,24 @@ from .taumol import (BAND_SPECS, NG, NSPA, NSPB, _GAS_CHI, _eta_params,
 NBANDS = 16
 GOFS = tuple(int(x) for x in np.cumsum((0,) + NG))
 
-F_FIELDS = (
-    "fac00", "fac01", "fac10", "fac11",
-    "colh2o", "colco2", "colo3", "coln2o", "colco", "colch4", "colo2",
-    "colbrd", "selffac", "selffrac", "forfac", "forfrac", "minorfrac",
-    "scaleminor", "scaleminorn2",
-    "rat_h2oco2", "rat_h2oco2_1", "rat_h2oo3", "rat_h2oo3_1",
-    "rat_h2on2o", "rat_h2on2o_1", "rat_h2och4", "rat_h2och4_1",
-    "rat_n2oco2", "rat_n2oco2_1", "rat_o3co2", "rat_o3co2_1",
-)
-I_FIELDS = ("jp", "jt", "jt1", "indself", "indfor", "indminor")
-P_FIELDS = ("pavel", "coldry", "wx0", "wx1", "wx2", "wx3")
-NSF = len(F_FIELDS) + len(P_FIELDS)
+# setcoef is FUSED into this kernel (rrtmg_lw_setcoef.f90:256-434): the
+# inputs are the raw per-cell profile rows; every interpolation
+# index/fraction/column the reference's setcoef produced is recomputed
+# on the fly in VMEM.  Only ``jp`` and the laytrop mask ship from XLA —
+# they derive from log(pavel), and a transcendental may differ by an
+# ulp between Mosaic and XLA, which would flip these *discrete* values
+# at bin boundaries.  Everything else is rational arithmetic on shipped
+# inputs (identical IEEE results), or derives from table rows selected
+# by an exact one-hot matmul (Precision.HIGHEST reproduces f32
+# bit-exactly), so jt/indfor/indself/indminor match the XLA setcoef
+# bit-for-bit.
+F_FIELDS = ("pavel", "tavel", "coldry", "wbrodl",
+            "wkl0", "wkl1", "wkl2", "wkl3", "wkl4", "wkl5", "wkl6",
+            "wx0", "wx1", "wx2", "wx3")
+I_FIELDS = ("jp",)
+NSF = len(F_FIELDS)
 NSI = len(I_FIELDS) + 1          # + laytrop mask
+STPFAC = 296.0 / 1013.0
 
 
 def _pad8(n: int) -> int:
@@ -84,6 +101,7 @@ def _pad8(n: int) -> int:
 
 class RegionTables(NamedTuple):
     keyT: np.ndarray         # (Dk, R) transposed fused key table
+    prefT: np.ndarray        # (P, 8) [preflog, tref, chi h2o/co2/o3/n2o/ch4]
     chiT: np.ndarray         # (8, P) chi_mls rows indexed by pressure
     selfT: np.ndarray        # (Ds, 10) or None
     forT: np.ndarray         # (Df, 4) or None
@@ -187,12 +205,30 @@ def build_region_tables(ktables: dict, static: dict, lower: bool,
     chi_pad = np.zeros((8, P))
     chi_pad[:7] = chi[:, chi_idx]                         # (7, P)
 
+    # fused-setcoef row table: preflog/tref for the fp/ft pressure-
+    # temperature weights plus the chi rows the rat_* reference-ratio
+    # pairs divide (setcoef.f90:272-294, 308-313).  Column p holds
+    # global row p (lower) / p+12 (upper): the kernel selects columns
+    # jp and jp+1 (0-based global jp; upper-local p = jp-12) with an
+    # EXACT one-hot matmul, so jt = int(3 + (tavel-tref(jp))/15)
+    # reproduces the XLA setcoef bit-for-bit.
+    pref_idx = np.clip(pcol if lower else (pcol + 12), 0, 58)
+    preflog = np.asarray(static["preflog"], np.float64)   # (59,)
+    tref = np.asarray(static["tref"], np.float64)         # (59,)
+    pref_pad = np.zeros((P, 8))                           # (P, cols)
+    pref_pad[:, 0] = preflog[pref_idx]
+    pref_pad[:, 1] = tref[pref_idx]
+    # chi cols for the rats: h2o, co2, o3, n2o, ch4 (gas-1 = 0,1,2,3,5)
+    for j, g in enumerate((0, 1, 2, 3, 5)):
+        pref_pad[:, 2 + j] = chi[g, pref_idx]
+
     def pack(rows):
         return (np.concatenate(rows, axis=0).astype(dtype)
                 if rows else None)
 
     return RegionTables(
-        keyT=pack(key_rows), chiT=chi_pad.astype(dtype),
+        keyT=pack(key_rows), prefT=pref_pad.astype(dtype),
+        chiT=chi_pad.astype(dtype),
         selfT=pack(self_rows), forT=pack(for_rows),
         minorT=pack(minor_rows), fracT=pack(frac_rows_l),
         cfcT=pack(cfc_rows),
@@ -231,6 +267,11 @@ NSPLIT_W = 2
 # window edge and are flagged by PallasTaumol.window_ok.
 WINDOW = 64
 WSTEP = 8
+
+# Candidate cell tiles for the blocked (layer-pure) kernel, largest
+# first: wide tiles amortize the fused-setcoef prologue's small-row
+# VPU ops and the per-grid-step fixed costs (see blocked_tile()).
+BLOCKED_TILES = (2048, 1024, 512, 256, 128)
 
 
 def _expand_windows(keyT_split: np.ndarray, R: int, window: int,
@@ -600,7 +641,7 @@ class PallasTaumol:
             self._packed.append(aux)
             self._packed_win.append(aux)
 
-            for name in ("fracT", "cfcT"):
+            for name in ("fracT", "cfcT", "prefT"):
                 tab = getattr(reg, name)
                 self._packed.append(tab)
                 self._packed_win.append(tab)
@@ -610,7 +651,7 @@ class PallasTaumol:
                                      for t in self._packed_win
                                      if t is not None)
         self._kernel = self._build()
-        self._kernel_blocked = self._build(blocked=True)
+        self._blocked_cache = {}
         self._call = self._build_vjp()
 
     # ------------------------------------------------------------------
@@ -668,8 +709,8 @@ class PallasTaumol:
         return call
 
     # ------------------------------------------------------------------
-    def _build(self, blocked: bool = False):
-        T = self.tile
+    def _build(self, blocked: bool = False, T: int = 0):
+        T = T or self.tile
         low, up = self.low, self.up
         chi_np = self.chi_np
         dtype = self.dtype
@@ -696,22 +737,112 @@ class PallasTaumol:
         aux_meta = self._aux_meta
 
         def kernel(wb_ref, scf_ref, sci_ref, keyl_ref, auxl_ref,
-                   fracl_ref, cfcl_ref, keyu_ref, auxu_ref,
-                   fracu_ref, cfcu_ref, taug_ref, fracs_ref):
-            sf = {name: scf_ref[i: i + 1, :]
-                  for i, name in enumerate(F_FIELDS + P_FIELDS)}
-            si = {name: sci_ref[i: i + 1, :]
-                  for i, name in enumerate(I_FIELDS)}
-            li = len(I_FIELDS)
-            lm_row = sci_ref[li: li + 1, :]              # (1, T) int
+                   fracl_ref, cfcl_ref, prefl_ref, keyu_ref, auxu_ref,
+                   fracu_ref, cfcu_ref, prefu_ref, taug_ref, fracs_ref):
+            fin = {name: scf_ref[i: i + 1, :]
+                   for i, name in enumerate(F_FIELDS)}
+            jp = sci_ref[0:1, :]                         # (1, T) int
+            lm_row = sci_ref[1:2, :]                     # (1, T) int
             lm = lm_row > 0
-            jp, jt, jt1 = si["jp"], si["jt"], si["jt1"]
             if win:
                 # hoisted out of pl.when (program_id is not lowerable
                 # inside a cond branch in interpret mode)
                 pid = pl.program_id(0)
                 base_l = wb_ref[0, pid] * WSTEP
                 base_u = wb_ref[1, pid] * WSTEP
+
+            # ---- fused setcoef, region-independent rows ----
+            # (rrtmg_lw_setcoef.f90:256-367; expressions transcribed
+            # op-for-op from ops/setcoef.py so the traced f32 graphs
+            # and results match the XLA implementation bit-for-bit)
+            pavel, tavel = fin["pavel"], fin["tavel"]
+            coldry, wbrodl = fin["coldry"], fin["wbrodl"]
+            wkl0 = fin["wkl0"]
+            plog = jnp.log(pavel)
+            water = wkl0 / coldry
+            scalefac = pavel * STPFAC / tavel
+            forfac0 = scalefac / (1.0 + water)
+            fac_lo = (332.0 - tavel) / 36.0
+            indfor_lo = jnp.clip(fac_lo.astype(jnp.int32), 1, 2)
+            forfrac_lo = fac_lo - indfor_lo.astype(dtype)
+            fac_hi = (tavel - 188.0) / 36.0
+            indfor = jnp.where(lm, indfor_lo, 3)
+            forfrac = jnp.where(lm, forfrac_lo, fac_hi - 1.0)
+            fself = (tavel - 188.0) / 7.2
+            indself = jnp.clip(fself.astype(jnp.int32) - 7, 1, 9)
+            selffrac = fself - (indself + 7).astype(dtype)
+            scaleminor = pavel / tavel
+            scaleminorn2 = scaleminor * (wbrodl / (coldry + wkl0))
+            fminor = (tavel - 180.8) / 7.2
+            indminor = jnp.clip(fminor.astype(jnp.int32), 1, 18)
+            minorfrac = fminor - indminor.astype(dtype)
+
+            colh2o = 1.0e-20 * wkl0
+
+            def col_subst(w):
+                c = 1.0e-20 * w
+                return jnp.where(c == 0.0, 1.0e-32 * coldry, c)
+
+            sf_common = dict(
+                colh2o=colh2o, colco2=col_subst(fin["wkl1"]),
+                colo3=col_subst(fin["wkl2"]),
+                coln2o=col_subst(fin["wkl3"]),
+                colco=col_subst(fin["wkl4"]),
+                colch4=col_subst(fin["wkl5"]),
+                colo2=1.0e-20 * fin["wkl6"],
+                colbrd=1.0e-20 * wbrodl,
+                selffac=colh2o * (water * forfac0),
+                selffrac=selffrac, forfac=colh2o * forfac0,
+                forfrac=forfrac, minorfrac=minorfrac,
+                scaleminor=scaleminor, scaleminorn2=scaleminorn2,
+                pavel=pavel, coldry=coldry,
+                wx0=fin["wx0"], wx1=fin["wx1"], wx2=fin["wx2"],
+                wx3=fin["wx3"])
+            si_common = dict(jp=jp, indself=indself - 1,
+                             indfor=indfor - 1, indminor=indminor - 1)
+
+            def region_ctx(pref_ref, P, upper_ofs):
+                """Fused-setcoef per-region rows: tref/preflog/chi at
+                the jp and jp+1 taps via masked sublane sums — EXACT
+                (one nonzero product per lane, so the f32 value is
+                untouched and jt = int(3 + (tavel-tref)/15) matches the
+                XLA setcoef bit-for-bit) — then the fac pressure-
+                temperature weights and the rat_* reference ratios
+                (setcoef.f90:268-313)."""
+                # clip keeps out-of-region cells of mixed tiles on a
+                # real row (finite garbage, discarded by the lm merge)
+                jp_loc = jnp.clip(jp - upper_ofs, 0, P - 2)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+                Wa = (iota == jp_loc).astype(dtype)          # (P, T)
+                Wb_ = (iota == jp_loc + 1).astype(dtype)
+
+                def sel(Wm, c):
+                    return jnp.sum(Wm * pref_ref[:P, c:c + 1],
+                                   axis=0, keepdims=True)
+
+                A = [sel(Wa, c) for c in range(7)]
+                Bb = [sel(Wb_, c) for c in range(7)]
+                tref_jp, tref_jp1 = A[1], Bb[1]
+                fp = 5.0 * (A[0] - plog)
+                tj = (tavel - tref_jp) / 15.0
+                jt = jnp.clip((3.0 + tj).astype(jnp.int32), 1, 4)
+                ft = tj - (jt - 3).astype(dtype)
+                tj1 = (tavel - tref_jp1) / 15.0
+                jt1 = jnp.clip((3.0 + tj1).astype(jnp.int32), 1, 4)
+                ft1 = tj1 - (jt1 - 3).astype(dtype)
+                compfp = 1.0 - fp
+                sf = dict(
+                    sf_common,
+                    fac00=compfp * (1.0 - ft), fac10=compfp * ft,
+                    fac01=fp * (1.0 - ft1), fac11=fp * ft1,
+                    rat_h2oco2=A[2] / A[3], rat_h2oco2_1=Bb[2] / Bb[3],
+                    rat_h2oo3=A[2] / A[4], rat_h2oo3_1=Bb[2] / Bb[4],
+                    rat_h2on2o=A[2] / A[5], rat_h2on2o_1=Bb[2] / Bb[5],
+                    rat_h2och4=A[2] / A[6], rat_h2och4_1=Bb[2] / Bb[6],
+                    rat_n2oco2=A[5] / A[3], rat_n2oco2_1=Bb[5] / Bb[3],
+                    rat_o3co2=A[4] / A[3], rat_o3co2_1=Bb[4] / Bb[3])
+                si = dict(si_common, jt=jt - 1, jt1=jt1 - 1)
+                return sf, si
 
             # Cells arrive layer-major, so a tile is usually entirely
             # below or entirely above laytrop: evaluate each region only
@@ -721,7 +852,7 @@ class PallasTaumol:
             any_lower = jnp.max(lm_row) > 0
             any_upper = jnp.min(lm_row) < 1
 
-            def aux_dot(aux_ref, meta, rchi):
+            def aux_dot(aux_ref, meta, rchi, sf, si):
                 """Fused chi/self/foreign/minor selection: the one-hot
                 blocks concatenate along K against the block-diagonal
                 aux table — one MXU dot replaces four.  The continuum /
@@ -765,6 +896,8 @@ class PallasTaumol:
 
             @pl.when(any_lower)
             def _lower():
+                sf, si = region_ctx(prefl_ref, 13, 0)
+                jt, jt1 = si["jt"], si["jt1"]
                 r0l = jnp.clip(jp * 5 + jt, 0, 64)
                 r1l = jnp.clip((jp + 1) * 5 + jt1, 0, 64)
                 if keyl_ref is not None:
@@ -782,7 +915,7 @@ class PallasTaumol:
                                           ns, nw)
                 else:
                     M0l = M1l = None
-                sl = aux_dot(auxl_ref, aux_meta[65], r1l)
+                sl = aux_dot(auxl_ref, aux_meta[65], r1l, sf, si)
                 ctx_l = _Ctx(
                     sf, si, M0l, M1l,
                     sl("chiT"), sl("selfT"), sl("forT"), sl("minorT"),
@@ -800,6 +933,8 @@ class PallasTaumol:
 
             @pl.when(any_upper)
             def _upper():
+                sf, si = region_ctx(prefu_ref, 47, 12)
+                jt, jt1 = si["jt"], si["jt1"]
                 r0u = jnp.clip((jp - 12) * 5 + jt, 0, 234)
                 r1u = jnp.clip((jp - 11) * 5 + jt1, 0, 234)
                 if keyu_ref is not None:
@@ -817,7 +952,7 @@ class PallasTaumol:
                                           ns, nw)
                 else:
                     M0u = M1u = None
-                su = aux_dot(auxu_ref, aux_meta[235], r1u)
+                su = aux_dot(auxu_ref, aux_meta[235], r1u, sf, si)
                 ctx_u = _Ctx(
                     sf, si, M0u, M1u,
                     su("chiT"), su("selfT"), su("forT"), su("minorT"),
@@ -867,7 +1002,7 @@ class PallasTaumol:
             for pos, t in enumerate(tables):
                 if t is None:
                     continue
-                if win and pos in (0, 4):          # keyT lower/upper
+                if win and pos in (0, 5):          # keyT lower/upper
                     r = 0 if pos == 0 else 1
                     imap = (lambda rr: lambda i, wb: (0, wb[rr, i]))(r)
                     specs.append(pl.BlockSpec((t.shape[0], nw * win),
@@ -941,8 +1076,24 @@ class PallasTaumol:
         relayout pass; consumed directly by the Pallas RT sweep."""
         return self._call_native(sc, prof)
 
+    def blocked_tile(self, B: int):
+        """Cell tile the blocked launch will use: the largest of
+        BLOCKED_TILES dividing B (bigger tiles amortize the fused
+        setcoef prologue and per-tile fixed costs — measured on a v5e
+        at B=16k: 13.0/10.7/9.7/8.9/8.7 ms for 128/256/512/1024/2048),
+        or None when none divides (caller falls back to the flat
+        kernel).  RRTMG_TAUMOL_TILE overrides at trace time."""
+        env = os.environ.get("RRTMG_TAUMOL_TILE")
+        if env:
+            t = int(env)
+            return t if B % t == 0 else None
+        for t in BLOCKED_TILES + (self.tile,):
+            if B % t == 0:
+                return t
+        return None
+
     def supports_blocked(self, B: int, L: int) -> bool:
-        return B % self.tile == 0
+        return self.blocked_tile(B) is not None
 
     def forward_blocked(self, sc: SetcoefOut, prof: Profile):
         """taug, fracs already in the RT sweep kernel's padded
@@ -951,12 +1102,11 @@ class PallasTaumol:
         Requires B % tile == 0 (each cell tile within one layer)."""
         return self._call_blocked(sc, prof)
 
-    def _window_meta(self, jp_flat, lm_flat):
+    def _window_meta(self, jp_flat, lm_flat, T):
         """Per-tile pressure-window block indices wb (2, ntiles) int32
         + per-tile fits flags (ntiles,).  Derived from the same clipped
         row indices the kernel uses; pure-region tiles get neutral
         fills so mixed tiles don't widen the other region's window."""
-        T = self.tile
         win = self.window
         jp = jp_flat.reshape(-1, T)
         lm = lm_flat.reshape(-1, T) > 0
@@ -985,31 +1135,40 @@ class PallasTaumol:
         if not self.window:
             return None
         B, L = sc.jp.shape
+        T = self.blocked_tile(B)
+        if T is None:
+            return None
         C = sc.jp.size
-        pad = (-C) % self.tile
+        pad = (-C) % T
 
         def iv(x):
             v = x.T.reshape(-1).astype(jnp.int32)
             return jnp.pad(v, (0, pad), mode="edge") if pad else v
 
         _, fit = self._window_meta(
-            iv(sc.jp), iv(sc.laytrop_mask.astype(jnp.int32)))
-        per_cell = jnp.repeat(fit, self.tile)[:C].reshape(L, B)
+            iv(sc.jp), iv(sc.laytrop_mask.astype(jnp.int32)), T)
+        per_cell = jnp.repeat(fit, T)[:C].reshape(L, B)
         return jnp.all(per_cell, axis=0)
 
-    def _wb(self, sci, ntiles):
+    def _wb(self, sci, ntiles, T):
         if self.window:
-            return self._window_meta(sci[0], sci[len(I_FIELDS)])[0]
+            return self._window_meta(sci[0], sci[len(I_FIELDS)], T)[0]
         return jnp.zeros((2, ntiles), jnp.int32)
+
+    def _blocked_kernel(self, T):
+        if T not in self._blocked_cache:
+            self._blocked_cache[T] = self._build(blocked=True, T=T)
+        return self._blocked_cache[T]
 
     def _forward_blocked(self, sc: SetcoefOut, prof: Profile):
         B, L = sc.jp.shape
-        if B % self.tile:
-            raise ValueError("blocked layout needs B % tile == 0")
+        T = self.blocked_tile(B)
+        if T is None:
+            raise ValueError("blocked layout needs a tile dividing B")
         scf, sci = self._pack(sc, prof, pad=0)
-        wb = self._wb(sci, B * L // self.tile)
-        return self._kernel_blocked(L, B, wb, scf, sci,
-                                    *self._tables_dev_win)
+        wb = self._wb(sci, B * L // T, T)
+        return self._blocked_kernel(T)(L, B, wb, scf, sci,
+                                       *self._tables_dev_win)
 
     def _forward_native(self, sc: SetcoefOut, prof: Profile):
         taug, fracs = self._forward_flat(sc, prof)
@@ -1037,14 +1196,16 @@ class PallasTaumol:
             v = x.T.reshape(-1).astype(jnp.int32)
             return jnp.pad(v, (0, pad), mode="edge") if pad else v
 
-        cols = [fvec(getattr(sc, n)) for n in F_FIELDS]
-        cols.append(fvec(prof.pavel))
-        cols.append(fvec(prof.coldry))
+        cols = [fvec(prof.pavel), fvec(prof.tavel), fvec(prof.coldry),
+                fvec(prof.wbrodl)]
+        for i in range(7):
+            cols.append(fvec(prof.wkl[..., i]))
         for i in range(4):
             cols.append(fvec(prof.wx[..., i]))
         scf = jnp.stack(cols)
-        ints = [ivec(getattr(sc, n)) for n in I_FIELDS]
-        ints.append(ivec(sc.laytrop_mask.astype(jnp.int32)))
+        # only the discrete log(pavel)-derived values ship from XLA
+        # (setcoef fusion; see the F_FIELDS comment)
+        ints = [ivec(sc.jp), ivec(sc.laytrop_mask.astype(jnp.int32))]
         sci = jnp.stack(ints)
         return scf, sci
 

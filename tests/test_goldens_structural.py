@@ -69,3 +69,40 @@ def test_golden_structure(name, inp, cld, aer):
         assert len(a.level) == len(b.level), "level count differs"
         assert (a.level == b.level).all()
         assert (a.pz == b.pz).all(), "level pressures differ"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="reference mount absent")
+def test_golden_nmca200_full_sample_path():
+    """The production 200-sample McICA averaging path (cli.py NMCA=200,
+    rrtmg_lw.1col.f90:460-483) end-to-end: every Mersenne-Twister seed
+    index 1..200 is drawn in reference order and the 200 flux samples
+    are averaged.  nmca=2 CI runs would let a seed-indexing bug at
+    sample > 2 slip through (VERDICT r2 #6).  Values are not gated
+    (synthetic k-tables); structure + bitwise determinism are."""
+    from rrtmg_lw_tpu.cli import run_files
+    from rrtmg_lw_tpu.io.golden import parse_output_rrtm
+
+    name, inp, cld = ("MLS-cld5-imca1-icld2",
+                      "input_rrtm_MLS-cld-imca1-icld2",
+                      "in_cld_rrtm-cld5")
+    d = pathlib.Path(tempfile.mkdtemp(prefix="golden200_"))
+    out1, out2 = d / "run1", d / "run2"
+    run_files(REF / inp, out1, cld_path=REF / cld, nmca=200)
+    run_files(REF / inp, out2, cld_path=REF / cld, nmca=200)
+    # bitwise-deterministic across runs (fixed reference seed order)
+    assert out1.read_text() == out2.read_text()
+    gold = REF / f"output_rrtm_{name}"
+    ours, ref = parse_output_rrtm(out1), parse_output_rrtm(gold)
+    assert len(ours) == len(ref)
+    for a, b in zip(ours, ref):
+        assert (a.wavenum1, a.wavenum2) == (b.wavenum1, b.wavenum2)
+        assert len(a.level) == len(b.level)
+        assert (a.pz == b.pz).all()
+    import numpy as np
+    assert np.isfinite(ours[0].uflx).all()
+    # the 200-sample mean must differ from a 2-sample mean (averaging
+    # actually spans the later seeds)
+    out3 = d / "run3"
+    run_files(REF / inp, out3, cld_path=REF / cld, nmca=2)
+    assert out3.read_text() != out1.read_text()

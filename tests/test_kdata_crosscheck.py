@@ -78,3 +78,31 @@ def test_kg_and_nc_pack_identically(paths):
                                               err_msg=f"{k}/{name}")
         else:
             np.testing.assert_array_equal(a, b, err_msg=str(k))
+
+
+def test_verify_manifest_accepts_and_rejects(paths, capsys):
+    """tools/build_assets.py --verify-manifest (VERDICT r2 #5): the
+    structural pre-flight must pass both synthetic blob forms and
+    fail loudly on a malformed one."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "build_assets", pathlib.Path(__file__).resolve().parents[1]
+        / "tools" / "build_assets.py")
+    ba = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ba)
+
+    orig, kg, nc = paths
+    assert ba.verify_manifest(kg) == 0
+    out = capsys.readouterr().out
+    assert "manifest OK" in out and "0 failures" in out
+    assert ba.verify_manifest(nc) == 0
+    assert "manifest OK" in capsys.readouterr().out
+
+    # corrupt: drop a band subroutine from the k_g text
+    bad = kg.parent / "bad_k_g.f90"
+    txt = kg.read_text()
+    i = txt.lower().find("subroutine lw_kgb16")
+    bad.write_text(txt[:i])
+    assert ba.verify_manifest(bad) == 1
+    assert "FAIL" in capsys.readouterr().out

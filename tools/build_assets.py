@@ -98,6 +98,76 @@ def build_static_tables(ref: pathlib.Path) -> dict:
     return out
 
 
+def verify_manifest(path) -> int:
+    """Structural pre-flight for a real k-data blob (VERDICT r2 #5).
+
+    Loads the candidate ``rrtmg_lw.nc`` / ``rrtmg_lw_k_g.f90`` with the
+    production readers and checks every band's original arrays against
+    the ``rrlw_kg01..16.f90`` declarations (shape registry
+    ``data/ktables.original_shapes``; e.g. kao(9,5,13,no3),
+    kbo(5,5,13:59,no3), selfrefo(10,noN)), plus dtype/finiteness and
+    value-sanity warnings.  On success prints the golden-gate command
+    so the 14 run_examples_std_atm flux values can finally be gated.
+    Returns a process exit code."""
+    from rrtmg_lw_tpu.data import ktables as kt
+
+    p = pathlib.Path(path)
+    loader = (kt.load_netcdf_original_tables
+              if p.suffix.lower() == ".nc"
+              else kt.load_fortran_original_tables)
+    try:
+        orig = loader(p)
+    except Exception as e:
+        print(f"FAIL: loader rejected {p.name}: {type(e).__name__}: {e}")
+        return 1
+    nbad = nwarn = narr = 0
+    for b in range(1, 17):
+        want = kt.original_shapes(b)
+        have = orig.get(b, {})
+        for name, shp in want.items():
+            narr += 1
+            a = have.get(name)
+            if a is None:
+                print(f"FAIL band {b:2d} {name}: missing")
+                nbad += 1
+                continue
+            a = np.asarray(a)
+            if tuple(a.shape) != tuple(shp):
+                print(f"FAIL band {b:2d} {name}: shape {a.shape} != "
+                      f"declared {shp}")
+                nbad += 1
+                continue
+            if not np.issubdtype(a.dtype, np.floating):
+                print(f"FAIL band {b:2d} {name}: dtype {a.dtype}")
+                nbad += 1
+                continue
+            if not np.isfinite(a).all():
+                print(f"FAIL band {b:2d} {name}: non-finite values")
+                nbad += 1
+                continue
+            if name.startswith("fracref"):
+                s = a.sum(axis=0)  # g axis first for fracs
+                if not np.allclose(s, 1.0, atol=0.2):
+                    print(f"WARN band {b:2d} {name}: per-eta g-sum "
+                          f"outside [0.8, 1.2] (min {s.min():.3f}, "
+                          f"max {s.max():.3f})")
+                    nwarn += 1
+            elif (a < 0).any():
+                print(f"WARN band {b:2d} {name}: "
+                      f"{int((a < 0).sum())} negative entries")
+                nwarn += 1
+    print(f"checked {narr} arrays over 16 bands: "
+          f"{nbad} failures, {nwarn} warnings")
+    if nbad:
+        return 1
+    flag = "--nc" if p.suffix.lower() == ".nc" else "--kg"
+    print("manifest OK — to build the real asset and gate the goldens:")
+    print(f"  python tools/build_assets.py {flag} {p}")
+    print("  python tools/run_goldens.py --all  "
+          "# value gates: <=0.5 W/m2 flux, <=0.1 K/day heating")
+    return 0
+
+
 def main():  # noqa: C901
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
@@ -106,7 +176,15 @@ def main():  # noqa: C901
                     help="path to the public rrtmg_lw.nc k-data")
     ap.add_argument("--kg", default=None,
                     help="path to the public rrtmg_lw_k_g.f90 k-data")
+    ap.add_argument("--verify-manifest", default=None, metavar="PATH",
+                    help="structural pre-flight of a real k-data blob "
+                         "(.nc or k_g.f90): shapes/dtypes vs the "
+                         "rrlw_kg declarations; prints the golden-gate "
+                         "command on success")
     args = ap.parse_args()
+
+    if args.verify_manifest:
+        sys.exit(verify_manifest(args.verify_manifest))
 
     ref = pathlib.Path(args.reference)
     out_path = pathlib.Path(args.out) if args.out else (

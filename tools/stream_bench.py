@@ -1,0 +1,233 @@
+"""Sustained streaming run (VERDICT r2 #3; BASELINE.json configs[4]).
+
+Streams >= 1M columns of host-generated GCM batches through the
+radiation step with double-buffered H2D prefetch
+(parallel/stream.prefetch) on the real chip, and writes
+STREAM_r{N}.json with sustained columns/s + H2D/compute overlap
+efficiency.  This replaces the reference's serial per-column loop
+(rrtmg_lw_rad.f90:486) + host-side sub-column generator
+(mcica_subcol_gen_lw.f90:133) at production scale.
+
+Two pipeline designs are measured:
+
+  host-mask:  the McICA sub-column mask is generated on the HOST and
+              shipped at g-resolution (int8 compact layout) — the
+              reference's dataflow (mcica_subcol_gen_lw runs before
+              rrtmg_lw), ~18 KB/column over the interconnect.
+  device-gen: the host ships only (B, L) cloud profiles and the
+              stochastic mask is generated ON DEVICE inside the same
+              jit step (ops/mcica threefry path) — the TPU-native
+              dataflow, ~5 KB/column.  Constant-zero aerosol od stays
+              device-resident instead of re-shipping per step.
+
+Overlap efficiency = (t_put_total + t_comp_total - t_wall)
+                     / min(t_put_total, t_comp_total), clipped to
+[0, 1]: 1.0 means the smaller of H2D/compute was fully hidden behind
+the larger.
+
+Usage: python tools/stream_bench.py [--ncol 16384] [--steps 64]
+       [--round 3] [--quick]  (quick: tiny CPU smoke of the harness)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def cloud_profiles(ncol, nlay, seed):
+    """(B, L) cloud profile fields for the device-side generator."""
+    rng = np.random.default_rng(seed)
+    cldfrac = np.zeros((ncol, nlay), np.float32)
+    lo = 3 + rng.integers(0, 3, ncol)
+    rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
+    cols = np.arange(ncol)[:, None]
+    cldfrac[cols, rows] = (0.3 + 0.5 * rng.random((ncol, 1))
+                           ).astype(np.float32)
+    ciwp = np.where(cldfrac > 0, 20.0 + 15.0 * rng.random(
+        (ncol, nlay)), 0.0).astype(np.float32)
+    clwp = np.where(cldfrac > 0, 15.0 + 10.0 * rng.random(
+        (ncol, nlay)), 0.0).astype(np.float32)
+    rei = np.full((ncol, nlay), 25.0, np.float32)
+    rel = np.full((ncol, nlay), 12.0, np.float32)
+    return dict(cldfrac=cldfrac, ciwp=ciwp, clwp=clwp, rei=rei, rel=rel)
+
+
+def tree_bytes(tree):
+    import jax
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "nbytes"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ncol", type=int, default=16384)
+    ap.add_argument("--nlay", type=int, default=60)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--host-mask-steps", type=int, default=16,
+                    help="steps for the (heavier) host-mask phase")
+    ap.add_argument("--nbatch", type=int, default=8,
+                    help="distinct host batches cycled")
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="CPU smoke: tiny shapes, validates the harness")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+        args.ncol, args.steps = 256, 4
+        args.host_mask_steps, args.nbatch = 2, 2
+    jax.config.update("jax_compilation_cache_dir",
+                      str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from rrtmg_lw_tpu import LWConfig, make_model
+    from rrtmg_lw_tpu import parallel as par
+    from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
+    from rrtmg_lw_tpu.types import Atmosphere
+    from rrtmg_lw_tpu.utils.profiling import ThroughputMeter
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_mcica_clouds)
+
+    B, L, K = args.ncol, args.nlay, args.nbatch
+    platform = jax.default_backend()
+    mesh = par.make_mesh(jax.devices())
+    model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
+                                use_lut=False))
+    step = par.make_sharded_step(model, mesh)
+    results = {}
+
+    def put(tree):
+        from rrtmg_lw_tpu.parallel.mesh import shardings_for
+        sh = shardings_for(tree, mesh)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), tree, sh)
+
+    def run_phase(name, batches_host, step_fn, nsteps, cols_per_step):
+        # blocking H2D time for one batch
+        t0 = time.perf_counter()
+        b0 = put(batches_host[0])
+        jax.block_until_ready(b0)
+        t_put = time.perf_counter() - t0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bx = put(batches_host[1 % len(batches_host)])
+            jax.block_until_ready(bx)
+            t_put = min(t_put, time.perf_counter() - t0)
+        nbytes = tree_bytes(batches_host[0])
+
+        # pure-compute step time, device-resident (chained via step idx)
+        out = step_fn(b0, 0)
+        jax.block_until_ready(out.uflx)
+        t0 = time.perf_counter()
+        nrep = 10 if platform == "tpu" else 2
+        for i in range(nrep):
+            out = step_fn(b0, i + 1)
+        jax.block_until_ready(out.uflx)
+        t_comp = (time.perf_counter() - t0) / nrep
+
+        # sustained stream with prefetch
+        from rrtmg_lw_tpu.parallel.stream import prefetch
+
+        def host_iter():
+            for i in range(nsteps):
+                yield batches_host[i % len(batches_host)]
+
+        meter = ThroughputMeter()
+        t0 = time.perf_counter()
+        i = 0
+        last = None
+        for dev_batch in prefetch(host_iter(), mesh, depth=args.depth):
+            with meter.step(ncols=cols_per_step) as h:
+                h["result"] = step_fn(dev_batch, i)
+                last = h["result"]
+            i += 1
+        jax.block_until_ready(last.uflx)
+        t_wall = time.perf_counter() - t0
+
+        tot_put = nsteps * t_put
+        tot_comp = nsteps * t_comp
+        denom = min(tot_put, tot_comp)
+        overlap = ((tot_put + tot_comp - t_wall) / denom
+                   if denom > 0 else 0.0)
+        row = dict(
+            design=name, ncol=B, nlay=L, steps=nsteps,
+            total_columns=nsteps * cols_per_step,
+            h2d_bytes_per_batch=int(nbytes),
+            h2d_kb_per_col=round(nbytes / B / 1024, 2),
+            h2d_s_per_batch=round(t_put, 4),
+            h2d_mb_per_s=round(nbytes / t_put / 1e6, 1),
+            compute_s_per_step=round(t_comp, 4),
+            wall_s=round(t_wall, 2),
+            cols_per_sec=round(nsteps * cols_per_step / t_wall, 1),
+            overlap_efficiency=round(max(0.0, min(1.0, overlap)), 3),
+            bound=("h2d" if tot_put > tot_comp else "compute"))
+        results[name] = row
+        print(json.dumps(row))
+        assert np.isfinite(np.asarray(last.uflx)).all()
+        return row
+
+    # ---- host-mask design (reference dataflow) ----------------------
+    mask_dt = np.int8 if platform == "tpu" else None
+    layout = "compact" if platform == "tpu" else "batch"
+    host_batches = [
+        (make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32, seed=i),
+         make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                           layout=layout, mask_dtype=mask_dt, seed=i))
+        for i in range(K)]
+    run_phase("host_mask", host_batches,
+              lambda b, i: step(b[0], b[1]), args.host_mask_steps, B)
+
+    # ---- device-gen design (TPU-native dataflow) ---------------------
+    # constant aerosol od stays on the device; the host ships profile
+    # rows + (B, L) cloud fields only
+    atm_fields = [make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32,
+                                  seed=i)._asdict() for i in range(K)]
+    taua0 = jax.device_put(np.zeros((B, L, 16), np.float32))
+    for d in atm_fields:
+        d.pop("tauaer")
+    gen_batches = [(atm_fields[i], cloud_profiles(B, L, i))
+                   for i in range(K)]
+    keys = jax.device_put(
+        np.stack([np.asarray(jax.random.key_data(
+            jax.random.fold_in(jax.random.key(7), i)))
+            for i in range(max(args.steps, 16))]))
+
+    @jax.jit
+    def step_gen(parts, cp, i):
+        key = jax.random.wrap_key_data(keys[i])
+        atm = Atmosphere(**parts, tauaer=taua0)
+        clouds = mcica_subcol_lw_compact(
+            key, 2, cp["cldfrac"], cp["ciwp"], cp["clwp"],
+            cp["rei"], cp["rel"],
+            mask_dtype=jnp.int8 if platform == "tpu" else None)
+        return model(atm, clouds)
+
+    run_phase("device_gen", gen_batches,
+              lambda b, i: step_gen(b[0], b[1], i % len(keys)),
+              args.steps, B)
+
+    out = dict(platform=platform, device=str(jax.devices()[0]),
+               depth=args.depth, distinct_host_batches=K,
+               phases=results)
+    path = ROOT / f"STREAM_r{args.round:02d}.json"
+    if not args.quick:
+        path.write_text(json.dumps(out, indent=1))
+        print(f"-> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -169,6 +169,64 @@ def main():
                 dict(icld=2, imca=1, inflag=2, iceflag=3, liqflag=1),
                 mc140)
 
+    # ---- production shapes (VERDICT r2 #7): the AB_MATRIX launch
+    # defaults (RT tile 256, taumol tile 2048, int8 compact mask) and
+    # the maxrand VMEM gate are only exercised at B=16384 — cover the
+    # exact bench configuration on-chip.  The XLA reference pipeline
+    # materializes several (B, L, 140) arrays and cannot hold B=16k on
+    # one chip; columns are independent, so it runs in 2048-column
+    # chunks against the full-batch Pallas run.
+    def check_model_chunked(name, kw, atm_f, clouds_f, BP, CH=2048):
+        try:
+            xla, pls = models(**kw)
+            fp = jax.jit(lambda a, c: pls(a, c))(atm_f(0, BP),
+                                                 clouds_f(0, BP))
+            jax.block_until_ready(fp.uflx)
+            run_x = jax.jit(lambda a, c: xla(a, c))
+            parts = []
+            for i in range(0, BP, CH):
+                fx = run_x(atm_f(i, CH), clouds_f(i, CH))
+                parts.append({n: np.asarray(getattr(fx, n), np.float64)
+                              for n in ("uflx", "dflx", "uflxc",
+                                        "dflxc")})
+            err = 0.0
+            for n in ("uflx", "dflx", "uflxc", "dflxc"):
+                x = np.concatenate([p[n] for p in parts], axis=0)
+                y = np.asarray(getattr(fp, n), np.float64)
+                scale = max(np.abs(x).max(), 1.0)
+                err = max(err, np.abs(x - y).max() / scale)
+            record(name, err, FLUX_TOL, dict(batch=BP))
+        except Exception as e:           # pragma: no cover
+            RESULTS.append(dict(check=name, max_err=float("nan"),
+                                tol=float(FLUX_TOL), ok=False,
+                                error=f"{type(e).__name__}: {e}"[:300]))
+            print(f"FAIL  {name:42s} {type(e).__name__}")
+
+    if not args.smoke:
+        BP = 16384
+        atm16 = make_atmosphere(ncol=BP, nlay=60, dtype=jnp.float32)
+        mcp = make_mcica_clouds(ncol=BP, nlay=60, dtype=jnp.float32,
+                                layout="compact", mask_dtype=np.int8)
+        bcp = make_band_clouds(ncol=BP, nlay=60, dtype=jnp.float32)
+
+        def slc(tree, i, n):
+            import jax.tree_util as jtu
+            return jtu.tree_map(
+                lambda x: x[..., i:i + n] if (
+                    hasattr(x, "ndim") and x.ndim == 3
+                    and x.shape[-1] == BP) else x[i:i + n], tree)
+
+        check_model_chunked(
+            "model_mcica_compact_i8_B16k",
+            dict(icld=2, imca=1, inflag=2, iceflag=3, liqflag=1),
+            lambda i, n: slc(atm16, i, n), lambda i, n: slc(mcp, i, n),
+            BP)
+        check_model_chunked(
+            "model_maxrand_icld2_B16k",
+            dict(icld=2, imca=0, inflag=2, iceflag=3, liqflag=1),
+            lambda i, n: slc(atm16, i, n), lambda i, n: slc(bcp, i, n),
+            BP)
+
     out = dict(backend=backend, device=dev, batch=B,
                elapsed_s=round(time.time() - t0, 1),
                split_tol=SPLIT_TOL, flux_tol=FLUX_TOL,
