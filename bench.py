@@ -62,13 +62,32 @@ def _assert_device_resident(tree, what):
                 f"an uncommitted jax.Array — placement is not pinned")
 
 
+def _compile_warm(step, args, eps, attempts=3):
+    """First (compiling) call with bounded retries: the axon
+    remote-compile endpoint occasionally drops mid-response
+    ('response body closed before all bytes were read'); a transient
+    flake must not cost the round its benchmark artifact."""
+    for attempt in range(attempts):
+        try:
+            return step(*args, eps)
+        except Exception as e:                      # noqa: BLE001
+            msg = str(e)
+            transient = ("remote_compile" in msg or "read body" in msg
+                         or "DEADLINE" in msg or "UNAVAILABLE" in msg)
+            if not transient or attempt == attempts - 1:
+                raise
+            print(f"transient compile failure (attempt {attempt + 1}):"
+                  f" {msg.splitlines()[0][:120]}", file=sys.stderr)
+            time.sleep(10.0 * (attempt + 1))
+
+
 def _bench_one(step, args, iters, repeats=3):
     """Best-of-`repeats` chained-timing windows; returns
     (best_seconds_per_iter, relative_spread)."""
     for i, a in enumerate(args):
         _assert_device_resident(a, f"arg{i}")
     eps = jnp.zeros((), jnp.float32)
-    out, eps = step(*args, eps)            # compile + warm
+    out, eps = _compile_warm(step, args, eps)      # compile + warm
     jax.block_until_ready(out)
     times = []
     for _ in range(repeats):

@@ -4,11 +4,13 @@ The XLA one-hot path (setcoef._interp_rows_onehot) materializes a
 (B*L, 181) f32 weight matrix in HBM (~178 MB at B=4096, L=60) just to
 contract it down to (B, L, 16) — that round-trip is most of setcoef's
 ~2 ms/step.  Here the weight tile lives only in VMEM: grid over
-(level, column-tile), build the (181, T) two-tap interpolation weights
-on the VPU, contract against the resident (16, 181) totplnk table on
-the MXU, and emit the result directly in the RT sweep kernel's
-(L, 16, B) blocked layout (which also removes that kernel's `_prep`
-relayout for the Planck arrays).
+(level, column-tile), build a BINARY (181, 2T) one-hot selecting both
+interpolation taps as lane-concatenated columns (exact in bf16 at one
+level), contract against the resident truncated-3-level-split totplnk
+table on the MXU (exact f32 row reconstruction), apply the
+interpolation fma post-dot in f32, and emit the result directly in
+the RT sweep kernel's (L, 16, B) blocked layout (which also removes
+that kernel's `_prep` relayout for the Planck arrays).
 
 Index semantics match rrtmg_lw_setcoef.f90:173-206 via
 setcoef._planck_index: ind = int(T-159) clamped to [1, 180],
@@ -46,22 +48,26 @@ def _build(T, interpret):
         t = temp_ref[0]                                   # (1, T)
         ind = jnp.clip((t - 159.0).astype(jnp.int32), 1, 180)
         frac = t - 159.0 - ind.astype(jnp.float32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (KPAD, T), 0)
-        # W carries the f32 interpolation fractions: 2-level bf16
-        # split, lane-concatenated against the row-stacked 2-level
-        # table split — ONE MXU pass (vs 6 with Precision.HIGHEST)
-        # reproduces the f32 contraction to ~2^-17 relative
-        W = jnp.where(iota == ind - 1, 1.0 - frac,
-                      jnp.where(iota == ind, frac, 0.0))
-        w1 = W.astype(jnp.bfloat16)
-        w2 = (W - w1.astype(jnp.float32)).astype(jnp.bfloat16)
-        M = jnp.dot(tbl_ref[:], jnp.concatenate([w1, w2], axis=1),
+        # BINARY one-hot W selecting both interpolation taps as
+        # lane-concatenated columns (cols [0,T) tap ind-1, cols [T,2T)
+        # tap ind): exact in bf16 at a single level, so the f32 table
+        # rows reconstruct EXACTLY from the 3-level table split
+        # (3x8 mantissa bits cover f32; the split subtractions are
+        # exact), and the interpolation fma runs post-dot in f32 —
+        # fewer VPU passes than building a fraction-weighted W and
+        # splitting it to bf16, and BITWISE equal to the XLA
+        # _interp_planck instead of ~2^-17
+        iota = jax.lax.broadcasted_iota(jnp.int32, (KPAD, 2 * T), 0)
+        taps = jnp.concatenate([ind - 1, ind], axis=1)    # (1, 2T)
+        W = (iota == taps).astype(jnp.bfloat16)
+        M = jnp.dot(tbl_ref[:], W,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-        out_ref[0] = (M[:16, :T] + M[:16, T:]
-                      + M[16:, :T] + M[16:, T:])
+        v0 = M[:16, :T] + M[16:32, :T] + M[32:, :T]
+        v1 = M[:16, T:] + M[16:32, T:] + M[32:, T:]
+        out_ref[0] = v0 + frac * (v1 - v0)
 
-    def run(tbl16, temp_t):                               # (16,KPAD),(L,B)
+    def run(tbl16, temp_t):                               # (48,KPAD),(L,B)
         L, B = temp_t.shape
         nb = B // T
         # (L*nb, 1, T): Mosaic requires the last two block dims to be
@@ -73,7 +79,7 @@ def _build(T, interpret):
             out_shape=jax.ShapeDtypeStruct((L, 16, B), jnp.float32),
             grid=(L, nb),
             in_specs=[
-                pl.BlockSpec((32, KPAD), lambda l, i: (0, 0),
+                pl.BlockSpec((48, KPAD), lambda l, i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, T), lambda l, i: (l * nb + i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -100,9 +106,19 @@ def planck_interp_blocked(temp_t, totplnk, *, tile=512, interpret=False):
         raise ValueError("planck_interp_blocked needs tile | B")
     t32 = np.pad(np.asarray(totplnk, np.float32).T,
                  ((0, 0), (0, KPAD - NROWS)))
-    t1 = t32.astype(np.float32).astype(jnp.bfloat16)
-    t2 = (t32 - np.asarray(t1, np.float32)).astype(jnp.bfloat16)
+    # 3-level TRUNCATED bf16 split: each level holds a disjoint 8-bit
+    # mantissa field (truncation = zeroing the low half of the f32
+    # word, exactly representable in bf16), so the residual after 3
+    # levels is zero and the f32 sums reassemble the original value
+    # bit-for-bit (round-to-nearest splits leave a 1-ulp tail in ~1%
+    # of entries)
+    levels, rem = [], t32.astype(np.float32)
+    for _ in range(3):
+        p32 = (rem.view(np.uint32) & 0xFFFF0000).view(np.float32)
+        rem = rem - p32
+        levels.append(p32.astype(jnp.bfloat16))
+    assert not rem.any()
     tbl2 = jnp.asarray(np.concatenate(
-        [np.asarray(t1), np.asarray(t2)], axis=0))       # (32, KPAD)
+        [np.asarray(p) for p in levels], axis=0))        # (48, KPAD)
     run = _build(int(tile), bool(interpret))
     return run(tbl2, temp_t.astype(jnp.float32))

@@ -225,14 +225,22 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
         ewb = ew_r[:, 0:NBANDS].astype(jnp.bfloat16)
         ew3 = jnp.concatenate([ewb, ewb, ewb], axis=1)   # (G_pad, 48)
 
-        def edot(m16):
+        def edot_multi(ms):
+            """ONE expansion dot for several (16, BT) band rows: lane-
+            concatenated into (48, n*BT) so the per-dot fixed cost is
+            paid once per level instead of once per array."""
+            m16 = ms[0] if len(ms) == 1 else jnp.concatenate(ms, axis=1)
             m1 = m16.astype(jnp.bfloat16)
             r1 = m16 - m1.astype(jnp.float32)
             m2 = r1.astype(jnp.bfloat16)
             m3 = (r1 - m2.astype(jnp.float32)).astype(jnp.bfloat16)
-            m = jnp.concatenate([m1, m2, m3], axis=0)    # (48, BT)
-            return jnp.dot(ew3, m, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.DEFAULT)
+            m = jnp.concatenate([m1, m2, m3], axis=0)    # (48, n*BT)
+            M = jnp.dot(ew3, m, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            return [M[:, i * BT:(i + 1) * BT] for i in range(len(ms))]
+
+        def edot(m16):
+            return edot_multi([m16])[0]
 
         secd_g = edot(surf_r[0:16, :])               # (G_pad, BT)
 
@@ -244,8 +252,11 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
 
         @pl.when(j == nc)
         def _surface():
-            sem_g = edot(surf_r[16:32, :])
-            pbnd_g = edot(surf_r[32:48, :])
+            srows = [surf_r[16:32, :], surf_r[32:48, :]]
+            if idrv:
+                srows.append(surf_r[48:64, :])
+            sexp = edot_multi(srows)
+            sem_g, pbnd_g = sexp[0], sexp[1]
             f0 = fracs_r[0]
             rad0 = f0 * pbnd_g
             reflect = 1.0 - sem_g
@@ -259,18 +270,33 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             out_r[0, 0, :] = jnp.sum(wg * radlu0, axis=0)
             out_r[2, 0, :] = jnp.sum(wg * radclru0, axis=0)
             if idrv:
-                d0 = f0 * edot(surf_r[48:64, :])
+                d0 = f0 * sexp[2]
                 rad_s[4] = d0
                 rad_s[5] = d0
                 out_r[4, 0, :] = jnp.sum(wg * d0, axis=0)
                 out_r[5, 0, :] = jnp.sum(wg * d0, axis=0)
 
-        def common(k):
+        def common(k, plev_row):
+            """Per-level factors; ``plev_row`` is the (16, BT) Planck
+            LEVEL row expanded together with every other band-resolution
+            row of this level in ONE batched expansion dot.  Returns
+            (pg, <the level tuple>)."""
             t = rd(taut_r, k)
-            if with_taua:
-                t = t + edot(rd(taua_r, k))  # grey per-band aerosol add
             f = rd(fracs_r, k)
-            blay = edot(rd(play_r, k))
+            rows = [rd(play_r, k), plev_row]
+            if with_taua:
+                rows.append(rd(taua_r, k))
+            if cloudy and (banded or maxrand):
+                rows.append(rd(taucb_r, k))
+            elif cloudy and (compact or fused_clouds):
+                rows.append(rd(abi_r, k))
+                rows.append(rd(abl_r, k))
+            exp = edot_multi(rows)
+            blay, pg = exp[0], exp[1]
+            nx = 2
+            if with_taua:
+                t = t + exp[nx]              # grey per-band aerosol add
+                nx += 1
             od = jnp.maximum(secd_g * t, 0.0)
             e_od = jnp.exp(-od)
             if not (cloudy and one_div):
@@ -291,7 +317,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     cl8 = rd(cl8_r, k)                # (8|16, BT)
                     cldf = jnp.broadcast_to(cl8[0:1], (G_pad, BT))
                     gate = cldf >= gate_thresh
-                    od_raw = edot(rd(taucb_r, k))
+                    od_raw = exp[nx]
                     odcld = jnp.where(gate, secd_g * od_raw, 0.0)
                     e_cld = jnp.exp(-odcld)
                     if maxrand:
@@ -302,8 +328,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                         efc = jnp.where(gate, abscld * cldf, 0.0)
                     atrans, tf, atot, tftot = cld_factors(odcld, e_cld)
                     cly = cl8[0:1] >= gate_thresh     # (1, BT)
-                    return (f, blay, atrans, tf, cldf, efc, atot,
-                            tftot, cly)
+                    return pg, (f, blay, atrans, tf, cldf, efc, atot,
+                                tftot, cly)
                 cldf = rd(cldf_r, k)
                 if cldf.dtype != jnp.float32:
                     # int8 binary sub-column mask (1/4 the HBM traffic;
@@ -318,8 +344,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     lay = rd(cw_r, k)                 # (8, BT)
                     ciwp = lay[0:1] * cldf
                     clwp = lay[1:2] * cldf
-                    absc_i = edot(rd(abi_r, k))
-                    absc_l = edot(rd(abl_r, k))
+                    absc_i, absc_l = exp[nx], exp[nx + 1]
                     absc_i = jnp.where(ciwp == 0.0, 0.0, absc_i)
                     absc_l = jnp.where(clwp == 0.0, 0.0, absc_l)
                     cwp = ciwp + clwp
@@ -329,8 +354,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 elif fused_clouds:
                     # cldprmc (rrtmg_lw_cldprmc.f90:128-142) inline:
                     # band coeffs expand to g via the one-hot matmul
-                    absc_i = edot(rd(abi_r, k))
-                    absc_l = edot(rd(abl_r, k))
+                    absc_i, absc_l = exp[nx], exp[nx + 1]
                     ciwp = rd(ciwp_r, k)
                     clwp = rd(clwp_r, k)
                     tauc = rd(tauc_r, k)
@@ -350,19 +374,21 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 atrans, tf, atot, tftot = cld_factors(odcld, e_cld)
                 cly = (jnp.max(gate.astype(jnp.float32), axis=0,
                                keepdims=True) > 0.0)   # (1, BT)
-                return f, blay, atrans, tf, cldf, efc, atot, tftot, cly
-            return f, blay, atrans, tf
+                return pg, (f, blay, atrans, tf, cldf, efc, atot,
+                            tftot, cly)
+            return pg, (f, blay, atrans, tf)
 
         @pl.when(down)
         def _down():
             for k in reversed(range(Lc)):
-                c = common(k)
+                # the level-k Planck source row joins the batched
+                # expansion dot inside common()
+                pg, c = common(k, rd(plev_r, k) if resident
+                               else rd(plo_r, k))
                 f, blay, atrans, tf = c[:4]
+                dpl = pg - blay
                 if cache:
                     row = chunk * Lc + k
-                    pg = edot(rd(plev_r, k)) if resident \
-                        else edot(rd(plo_r, k))
-                    dpl = pg - blay
                     at_s[pl.ds(row, 1)] = atrans[None]
                     tf_s[pl.ds(row, 1)] = tf[None]
                     blay_s[pl.ds(row, 1)] = blay[None]
@@ -385,8 +411,6 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                             efc_s[pl.ds(row, 1)] = c[5][None]
                             cly_s[pl.ds(row, 1)] = \
                                 c[8].astype(jnp.float32)
-                else:
-                    dpl = edot(rd(plo_r, k)) - blay
                 bbd = f * (blay + tf * dpl)
                 gassrc = atrans * bbd
                 radld = rad_s[0]
@@ -497,13 +521,13 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                             efc = efc_s[pl.ds(row, 1)][0]
                             cly = cly_s[pl.ds(row, 1)] > 0.0
                 else:
-                    c = common(k)
+                    pg, c = common(k, rd(phi_r, k))
                     f, blay, atrans, tf = c[:4]
                     if cloudy:
                         cldf, efc, atot, tftot, cly = c[4:]
                         if banded or maxrand:
                             cl16 = rd(cl8_r, k)
-                    dpu = edot(rd(phi_r, k)) - blay
+                    dpu = pg - blay
                 bbu = f * (blay + tf * dpu)
                 gassrc = bbu * atrans
                 radlu = rad_s[2]

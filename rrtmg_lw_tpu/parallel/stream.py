@@ -3,27 +3,35 @@
 The reference reads one column at a time from text files
 (rrtmg_lw.1col.f90:447); the GCM mode receives arrays by argument.  At
 TPU scale the input pipeline must overlap H2D copies with compute:
-``prefetch`` keeps ``depth`` batches in flight (jax.device_put with a
-NamedSharding is asynchronous), so the radiation step never waits on
-PCIe/DCN.
+``prefetch`` keeps ``depth`` batches in flight on a background
+transfer thread, so the radiation step never waits on PCIe/DCN.
+
+The transfers run on a dedicated thread rather than relying on
+``jax.device_put`` being asynchronous: device_put releases the GIL
+during the copy, so the overlap holds even on transports where the
+put blocks until the bytes land (measured on the axon tunnel: the
+inline-put version of this loop achieved 0.0 overlap efficiency).
 """
 
 from __future__ import annotations
 
 import collections
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, Optional
 
 import jax
 
 from .mesh import shardings_for
 
+_STOP = object()
+
 
 def prefetch(batches: Iterable, mesh, depth: int = 2,
              sharding=None) -> Iterator:
     """Yield device-resident batches, keeping ``depth`` transfers in
-    flight ahead of the consumer.  Shardings are layout-aware per
-    sub-tree (blocked/compact cloud arrays carry columns on their
-    last axis — see mesh.shardings_for)."""
+    flight ahead of the consumer on a background thread.  Shardings
+    are layout-aware per sub-tree (blocked/compact cloud arrays carry
+    columns on their last axis — see mesh.shardings_for)."""
     if sharding is not None:
         put = lambda tree: jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), tree)
@@ -32,20 +40,29 @@ def prefetch(batches: Iterable, mesh, depth: int = 2,
             sh = shardings_for(tree, mesh)
             return jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, s), tree, sh)
-    queue = collections.deque()
     it = iter(batches)
-    try:
-        for _ in range(depth):
-            queue.append(put(next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        ready = queue.popleft()
+
+    def feed():
+        # only the worker thread touches the iterator, so generator
+        # re-entrancy is never an issue
         try:
-            queue.append(put(next(it)))
+            nxt = next(it)
         except StopIteration:
-            pass
-        yield ready
+            return _STOP
+        return put(nxt)
+
+    ex = ThreadPoolExecutor(max_workers=1,
+                            thread_name_prefix="rrtmg-prefetch")
+    try:
+        queue = collections.deque(ex.submit(feed) for _ in range(depth))
+        while queue:
+            ready = queue.popleft().result()
+            if ready is _STOP:
+                break            # FIFO: everything behind is _STOP too
+            queue.append(ex.submit(feed))
+            yield ready
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def run_epoch(step_fn: Callable, batches: Iterable, mesh,

@@ -26,5 +26,10 @@ def test_matches_setcoef_interp(totplnk):
     out = planck_interp_blocked(jnp.asarray(temps.T), totplnk,
                                 tile=128, interpret=True)   # (L, 16, B)
     got = jnp.transpose(out, (2, 0, 1))
+    # the binary one-hot taps select exact f32 table rows (truncated
+    # 3-level bf16 split) and the interpolation runs post-dot in the
+    # same f32 form as _interp_planck: equal to ~1 ulp (the residue is
+    # compiler fma-fusion of the final a+f*(b-a), not the selection —
+    # the old fraction-weighted bf16 W was only ~2^-17)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-6, atol=1e-6)
+                               rtol=3e-7, atol=0)

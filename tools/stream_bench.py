@@ -138,22 +138,32 @@ def main():
         jax.block_until_ready(out.uflx)
         t_comp = (time.perf_counter() - t0) / nrep
 
-        # sustained stream with prefetch
+        # sustained stream with prefetch.  The first prefetched batch
+        # runs OUTSIDE the clock: any retrace/compile triggered by the
+        # prefetch-placed avals lands there instead of inside the
+        # timed window (a single remote compile is ~20 min on axon and
+        # silently dominated an early version of this measurement).
         from rrtmg_lw_tpu.parallel.stream import prefetch
 
         def host_iter():
-            for i in range(nsteps):
+            for i in range(nsteps + 1):
                 yield batches_host[i % len(batches_host)]
 
         meter = ThroughputMeter()
+        stream = prefetch(host_iter(), mesh, depth=args.depth)
+        warm = step_fn(next(stream), 0)
+        jax.block_until_ready(warm.uflx)
         t0 = time.perf_counter()
         i = 0
         last = None
-        for dev_batch in prefetch(host_iter(), mesh, depth=args.depth):
+        step_s = []
+        for dev_batch in stream:
+            ts = time.perf_counter()
             with meter.step(ncols=cols_per_step) as h:
                 h["result"] = step_fn(dev_batch, i)
                 last = h["result"]
             i += 1
+            step_s.append(round(time.perf_counter() - ts, 3))
         jax.block_until_ready(last.uflx)
         t_wall = time.perf_counter() - t0
 
@@ -165,6 +175,7 @@ def main():
         row = dict(
             design=name, ncol=B, nlay=L, steps=nsteps,
             total_columns=nsteps * cols_per_step,
+            step_s=step_s,
             h2d_bytes_per_batch=int(nbytes),
             h2d_kb_per_col=round(nbytes / B / 1024, 2),
             h2d_s_per_batch=round(t_put, 4),
