@@ -167,10 +167,18 @@ def main():
         jax.block_until_ready(last.uflx)
         t_wall = time.perf_counter() - t0
 
-        tot_put = nsteps * t_put
+        # sustained H2D-only pass over the same batch sequence: the
+        # tunnel's burst rate (first put) can be >10x its sustained
+        # rate, so the overlap metric must compare the streamed wall
+        # against the SUSTAINED transfer cost, not the burst one
+        t0 = time.perf_counter()
+        for i in range(nsteps):
+            jax.block_until_ready(put(batches_host[i % K]))
+        t_put_seq = time.perf_counter() - t0
+
         tot_comp = nsteps * t_comp
-        denom = min(tot_put, tot_comp)
-        overlap = ((tot_put + tot_comp - t_wall) / denom
+        denom = min(t_put_seq, tot_comp)
+        overlap = ((t_put_seq + tot_comp - t_wall) / denom
                    if denom > 0 else 0.0)
         row = dict(
             design=name, ncol=B, nlay=L, steps=nsteps,
@@ -178,13 +186,16 @@ def main():
             step_s=step_s,
             h2d_bytes_per_batch=int(nbytes),
             h2d_kb_per_col=round(nbytes / B / 1024, 2),
-            h2d_s_per_batch=round(t_put, 4),
-            h2d_mb_per_s=round(nbytes / t_put / 1e6, 1),
+            h2d_burst_s_per_batch=round(t_put, 4),
+            h2d_burst_mb_per_s=round(nbytes / t_put / 1e6, 1),
+            h2d_sustained_s_per_batch=round(t_put_seq / nsteps, 4),
+            h2d_sustained_mb_per_s=round(
+                nbytes * nsteps / t_put_seq / 1e6, 1),
             compute_s_per_step=round(t_comp, 4),
             wall_s=round(t_wall, 2),
             cols_per_sec=round(nsteps * cols_per_step / t_wall, 1),
             overlap_efficiency=round(max(0.0, min(1.0, overlap)), 3),
-            bound=("h2d" if tot_put > tot_comp else "compute"))
+            bound=("h2d" if t_put_seq > tot_comp else "compute"))
         results[name] = row
         print(json.dumps(row))
         assert np.isfinite(np.asarray(last.uflx)).all()
