@@ -72,6 +72,7 @@ def main():
             clouds = make_mcica_clouds(
                 ncol=args.ncol, nlay=args.nlay, dtype=jnp.float32,
                 layout=layout, seed=i,
+                mask_dtype=np.int8 if layout == "compact" else None,
                 clear_frac=1.0 - args.cloud_frac)
             yield atm, clouds
 
