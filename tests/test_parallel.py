@@ -50,6 +50,38 @@ def test_prefetch_stream():
                                np.asarray(batches[3].tsfc))
 
 
+def test_prefetch_propagates_source_errors():
+    # the transfers run on a worker thread; an exception raised by the
+    # source iterator must surface at the consumer, in order
+    mesh = par.make_mesh(jax.devices()[:8], spec=1)
+
+    def gen():
+        yield make_atmosphere(ncol=8, nlay=21, seed=0)
+        raise RuntimeError("boom")
+
+    it = par.prefetch(gen(), mesh, depth=2)
+    next(it)
+    try:
+        next(it)
+    except RuntimeError as e:
+        assert "boom" in str(e)
+    else:
+        raise AssertionError("source exception swallowed")
+
+
+def test_prefetch_early_exit_no_hang():
+    # breaking out of the stream mid-iteration must shut the worker
+    # down without hanging or leaking in-flight transfers
+    mesh = par.make_mesh(jax.devices()[:8], spec=1)
+    batches = [make_atmosphere(ncol=8, nlay=21, seed=s)
+               for s in range(50)]
+    for i, b in enumerate(par.prefetch(iter(batches), mesh, depth=2)):
+        if i == 2:
+            break
+    # a fresh stream still works after the abandoned one
+    assert len(list(par.prefetch(batches[:3], mesh, depth=2))) == 3
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()

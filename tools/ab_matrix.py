@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 KNOBS = ["RRTMG_RT_TILE", "RRTMG_RT_LC", "RRTMG_RT_ONE_DIV",
          "RRTMG_RT_NO_RESIDENT", "RRTMG_RT_NO_CACHE",
-         "RRTMG_PLANCK_TILE"]
+         "RRTMG_PLANCK_TILE", "RRTMG_TAUMOL_TILE"]
 
 # (name, env) — env values are strings; None clears the knob
 CONFIGS = [
@@ -58,6 +58,15 @@ CONFIGS = [
     ("t256_lc30_p2048", {"RRTMG_RT_TILE": "256", "RRTMG_RT_LC": "30",
                          "RRTMG_PLANCK_TILE": "2048"}),
     ("t256_nores", {"RRTMG_RT_TILE": "256", "RRTMG_RT_NO_RESIDENT": "1"}),
+    # round-3 session-2 re-tune after the batched-expansion RT kernel
+    # and fused-setcoef taumol (per-level dot counts changed, so the
+    # chunk-size and tile tradeoffs may have shifted)
+    ("tm1024", {"RRTMG_TAUMOL_TILE": "1024"}),
+    ("tm4096", {"RRTMG_TAUMOL_TILE": "4096"}),
+    ("lc12", {}),                       # alias of baseline (defaults)
+    ("r3_lc6", {"RRTMG_RT_LC": "6"}),
+    ("r3_lc20", {"RRTMG_RT_LC": "20"}),
+    ("r3_onediv", {"RRTMG_RT_ONE_DIV": "1"}),
 ]
 
 
@@ -90,12 +99,24 @@ def main():
     from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
                                               make_mcica_clouds)
 
+    import numpy as np
+
     B, L = args.ncol, args.nlay
-    atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32)
     platform = jax.default_backend()
     layout = "compact" if platform == "tpu" else "batch"
-    clouds = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
-                               layout=layout)
+    # generators return HOST numpy (streaming contract): pin the
+    # workloads to the device ONCE, exactly like bench.py, or every
+    # timed iteration re-uploads ~300 MB over the tunnel and the A/B
+    # deltas drown in transfer noise
+    dev = jax.devices()[0]
+    atm = jax.device_put(
+        make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32), dev)
+    clouds = jax.device_put(
+        make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                          layout=layout,
+                          mask_dtype=np.int8 if layout == "compact"
+                          else None), dev)
+    jax.block_until_ready((atm, clouds))
     want = set(args.configs.split(",")) if args.configs else None
     modes = args.modes.split(",")
 
