@@ -120,6 +120,47 @@ def test_native_generator_statistics(icld):
         assert np.all(deck == deck[:, :1, :])
 
 
+@pytest.mark.parametrize("icld,within,across", [
+    # expected joint cloudy fraction for ADJACENT cloudy layers at
+    # c=0.6 ("within" a contiguous deck) and for two decks SEPARATED
+    # by clear sky ("across"):
+    #   random:            c1*c2 everywhere            = 0.36
+    #   maximum-random:    min(c1,c2) within, c1*c2 across
+    #   maximum:           min(c1,c2) everywhere       = 0.6
+    #   exponential a=0.8: a*min + (1-a)*c1*c2 within  = 0.552
+    (1, 0.36, 0.36),
+    (2, 0.60, 0.36),
+    (3, 0.60, 0.60),
+    (5, 0.552, None),       # across-gap value depends on alpha chain
+])
+def test_native_generator_pairwise_overlap(icld, within, across):
+    """The overlap MODELS differ only in the joint distribution of
+    adjacent layers (mcica_subcol_gen_lw.f90:484-645) — the per-layer
+    fraction test alone cannot tell them apart."""
+    static = kt.load_static()
+    B, L = 256, 9
+    c = 0.6
+    cldfrac = np.zeros((B, L))
+    cldfrac[:, 1:3] = c          # deck 1: layers 1-2
+    cldfrac[:, 5:7] = c          # deck 2, separated by clear 3-4
+    clwp = np.where(cldfrac > 0, 30.0, 0.0)
+    zeros = np.zeros((B, L))
+    alpha = np.full((B, L), 0.8)
+    out = mcica.mcica_subcol_lw(
+        jax.random.PRNGKey(3), icld, jnp.asarray(cldfrac),
+        jnp.asarray(zeros), jnp.asarray(clwp),
+        jnp.asarray(np.full((B, L), 30.0)),
+        jnp.asarray(np.full((B, L), 10.0)),
+        jnp.asarray(np.zeros((B, L, 16))), jnp.asarray(alpha),
+        ngb=static["ngb"])
+    m = np.asarray(out.cldfmc) > 0.5             # (B, L, 140)
+    joint_within = (m[:, 1, :] & m[:, 2, :]).mean()
+    np.testing.assert_allclose(joint_within, within, atol=0.02)
+    if across is not None:
+        joint_across = (m[:, 2, :] & m[:, 5, :]).mean()
+        np.testing.assert_allclose(joint_across, across, atol=0.02)
+
+
 def test_get_alpha_exponential_random():
     B, L = 3, 10
     dz = np.full((B, L), 500.0)
