@@ -106,37 +106,10 @@ def _gas_factors(od):
     return _gas_factors_e(od, jnp.exp(-od))
 
 
-def _gas_factors2_e(od_g, e_g, od_t, e_t):
-    """Gas + total (gas+cloud) factors with ONE division for both tf
-    denominators via a shared reciprocal (1/a = (1/(a*b))*b): saves a
-    VPU divide per cloudy level at a ~few-ulp deviation from the
-    two-division form.  A/B knob RRTMG_RT_ONE_DIV; falls back to two
-    _gas_factors_e calls when off."""
-    small_g = od_g <= 0.06
-    small_t = od_t <= 0.06
-    odg_s = jnp.maximum(od_g, 0.06)
-    odt_s = jnp.maximum(od_t, 0.06)
-    eg_s = jnp.where(small_g, E006, e_g)
-    et_s = jnp.where(small_t, E006, e_t)
-    om_g = 1.0 - eg_s
-    om_t = 1.0 - et_s
-    atrans = jnp.where(small_g, od_g - 0.5 * od_g * od_g, om_g)
-    atot = jnp.where(small_t, od_t - 0.5 * od_t * od_t, om_t)
-    dg = odg_s * om_g
-    dt = odt_s * om_t
-    inv = 1.0 / (dg * dt)
-    tf = jnp.where(small_g, REC_6 * od_g,
-                   1.0 - 2.0 * (om_g - odg_s * eg_s) * (inv * dt))
-    tftot = jnp.where(small_t, REC_6 * od_t,
-                      1.0 - 2.0 * (om_t - odt_s * et_s) * (inv * dg))
-    return atrans, tf, atot, tftot
-
-
 @functools.lru_cache(maxsize=32)
 def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                   gate_thresh, ngb0_key, delwave_key, resident, cache,
-                  fused_clouds, compact, banded, maxrand, one_div,
-                  interpret):
+                  fused_clouds, compact, banded, maxrand, interpret):
     """Compile-time factory; ngb0/delwave passed as hashable tuples.
 
     With ``resident`` the level-streamed inputs ship as whole-(Lp)
@@ -299,44 +272,42 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 nx += 1
             od = jnp.maximum(secd_g * t, 0.0)
             e_od = jnp.exp(-od)
-            if not (cloudy and one_div):
-                atrans, tf = _gas_factors_e(od, e_od)
+            atrans, tf = _gas_factors_e(od, e_od)
+            if not cloudy:
+                return pg, (f, blay, atrans, tf), None
 
-            def cld_factors(odcld, e_cld):
-                if one_div:
-                    return _gas_factors2_e(od, e_od, od + odcld,
-                                           e_od * e_cld)
-                a, t2 = _gas_factors_e(od + odcld, e_od * e_cld)
-                return atrans, tf, a, t2
-
-            if cloudy:
-                if banded or maxrand:
-                    # deterministic per-band clouds (cldprop,
-                    # rrtmg_lw_cldprop.f90): per-layer cloud fraction
-                    # broadcast over g, per-band od expanded in-kernel
-                    cl8 = rd(cl8_r, k)                # (8|16, BT)
-                    cldf = jnp.broadcast_to(cl8[0:1], (G_pad, BT))
-                    gate = cldf >= gate_thresh
-                    od_raw = exp[nx]
-                    odcld = jnp.where(gate, secd_g * od_raw, 0.0)
-                    e_cld = jnp.exp(-odcld)
-                    if maxrand:
-                        efc = None     # rtrnmr uses sub-streams, not
-                                       # the effective cloud fraction
-                    else:
-                        abscld = 1.0 - e_cld
-                        efc = jnp.where(gate, abscld * cldf, 0.0)
-                    atrans, tf, atot, tftot = cld_factors(odcld, e_cld)
-                    cly = cl8[0:1] >= gate_thresh     # (1, BT)
-                    return pg, (f, blay, atrans, tf, cldf, efc, atot,
-                                tftot, cly)
+            # mask-derived rows, computed ALWAYS (cheap): the caller
+            # needs cldf/cly for its where-blends and the per-level
+            # any-cloudy scalar for the pl.when skip gate
+            if banded or maxrand:
+                # deterministic per-band clouds (cldprop,
+                # rrtmg_lw_cldprop.f90): per-layer cloud fraction
+                # broadcast over g, per-band od expanded in-kernel
+                cl8 = rd(cl8_r, k)                    # (8|16, BT)
+                cldf = jnp.broadcast_to(cl8[0:1], (G_pad, BT))
+                gate = cldf >= gate_thresh
+                cly = cl8[0:1] >= gate_thresh         # (1, BT)
+                lvl_any = jnp.max(cl8[0:1]) >= gate_thresh
+            else:
                 cldf = rd(cldf_r, k)
                 if cldf.dtype != jnp.float32:
                     # int8 binary sub-column mask (1/4 the HBM traffic;
                     # the 0/1 values are exact in both dtypes)
                     cldf = cldf.astype(jnp.float32)
                 gate = cldf >= gate_thresh
-                if compact:
+                cly = (jnp.max(gate.astype(jnp.float32), axis=0,
+                               keepdims=True) > 0.0)  # (1, BT)
+                lvl_any = jnp.max(cldf) >= gate_thresh
+
+            def cld_opt():
+                """The EXPENSIVE cloudy optics (exp/divide chains) —
+                the caller runs this under pl.when(lvl_any) so levels
+                where no cell of the tile is cloudy skip it entirely
+                (exact: every consumer selects through cly, which is
+                all-false there)."""
+                if banded or maxrand:
+                    od_raw = exp[nx]
+                elif compact:
                     # generator-form clouds: re-form the per-g water
                     # paths as (per-layer value x binary mask) — the
                     # same f32 product mcica_subcol_lw materializes
@@ -369,26 +340,28 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     od_raw = rd(odcld_r, k)
                 odcld = jnp.where(gate, secd_g * od_raw, 0.0)
                 e_cld = jnp.exp(-odcld)
-                abscld = 1.0 - e_cld
-                efc = jnp.where(gate, abscld * cldf, 0.0)
-                atrans, tf, atot, tftot = cld_factors(odcld, e_cld)
-                cly = (jnp.max(gate.astype(jnp.float32), axis=0,
-                               keepdims=True) > 0.0)   # (1, BT)
-                return pg, (f, blay, atrans, tf, cldf, efc, atot,
-                            tftot, cly)
-            return pg, (f, blay, atrans, tf)
+                if maxrand:
+                    efc = None     # rtrnmr uses sub-streams, not
+                                   # the effective cloud fraction
+                else:
+                    efc = jnp.where(gate, (1.0 - e_cld) * cldf, 0.0)
+                atot, tftot = _gas_factors_e(od + odcld, e_od * e_cld)
+                return efc, atot, tftot
+
+            return pg, (f, blay, atrans, tf), (cldf, cly, lvl_any,
+                                               cld_opt)
 
         @pl.when(down)
         def _down():
             for k in reversed(range(Lc)):
                 # the level-k Planck source row joins the batched
                 # expansion dot inside common()
-                pg, c = common(k, rd(plev_r, k) if resident
-                               else rd(plo_r, k))
-                f, blay, atrans, tf = c[:4]
+                pg, g, ci = common(k, rd(plev_r, k) if resident
+                                   else rd(plo_r, k))
+                f, blay, atrans, tf = g
                 dpl = pg - blay
+                row = chunk * Lc + k
                 if cache:
-                    row = chunk * Lc + k
                     at_s[pl.ds(row, 1)] = atrans[None]
                     tf_s[pl.ds(row, 1)] = tf[None]
                     blay_s[pl.ds(row, 1)] = blay[None]
@@ -402,56 +375,60 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                             pg_s[pl.ds(Lp, 1)] = edot(
                                 rd(plev_r, Lc) if resident
                                 else rd(phi_r, Lc - 1))[None]
-                    if cloudy:
-                        atot_s[pl.ds(row, 1)] = c[6][None]
-                        tftot_s[pl.ds(row, 1)] = c[7][None]
-                        if not maxrand:
-                            # rtrnmr reads its per-layer flags/factors
-                            # from the cl16 rows instead
-                            efc_s[pl.ds(row, 1)] = c[5][None]
-                            cly_s[pl.ds(row, 1)] = \
-                                c[8].astype(jnp.float32)
                 bbd = f * (blay + tf * dpl)
                 gassrc = atrans * bbd
                 radld = rad_s[0]
+                rad_gas = radld + (bbd - radld) * atrans
                 if maxrand:
                     # rtrnmr down recursion (rrtmg_lw_rtrnmr.f90:
                     # 591-615): cloudy/clear sub-streams exchanging a
                     # correction radiance, restarted at each cloud
                     # block boundary (istcldd); overlap factors come
-                    # from the XLA per-column pre-pass rows
-                    cldf, _efc, atot, tftot, cly = c[4:]
+                    # from the XLA per-column pre-pass rows.  Levels
+                    # where no cell of the tile is cloudy skip the
+                    # whole recursion: cly is all-false there, so the
+                    # sub-streams and radld are unchanged vs the old
+                    # unconditional where-blends
+                    cldf, cly, lvl_any, cld_opt = ci
                     cl16 = rd(cl8_r, k)
-                    cf = cl16[0:1]
-                    ist = cl16[2:3] > 0.0
+                    rad_s[0] = rad_gas
+
+                    @pl.when(lvl_any)
+                    def _mr():
+                        _, atot, tftot = cld_opt()
+                        if cache:
+                            atot_s[pl.ds(row, 1)] = atot[None]
+                            tftot_s[pl.ds(row, 1)] = tftot[None]
+                        cf = cl16[0:1]
+                        ist = cl16[2:3] > 0.0
+                        fclr1, fclr2, fcld1 = (cl16[4:5], cl16[5:6],
+                                               cl16[6:7])
+                        fcld2, fcmb1, fcmb2 = (cl16[7:8], cl16[8:9],
+                                               cl16[9:10])
+                        bbdtot = f * (blay + tftot * dpl)
+                        cldradd = jnp.where(ist, cf * radld, rad_s[6])
+                        clrradd = jnp.where(ist, radld - cf * radld,
+                                            rad_s[7])
+                        rad0 = jnp.where(ist, 0.0, rad_s[8])
+                        ttot = 1.0 - atot
+                        cldsrc = bbdtot * atot
+                        cldradd1 = cldradd * ttot + cf * cldsrc
+                        clrradd1 = (clrradd * (1.0 - atrans)
+                                    + (1.0 - cf) * gassrc)
+                        radmod = (rad0 * (fclr1 * (1.0 - atrans)
+                                          + fcld1 * ttot)
+                                  - fcmb1 * gassrc + fcmb2 * cldsrc)
+                        rad_n = (-radmod + fclr2 * (clrradd1 + radmod)
+                                 - fcld2 * (cldradd1 - radmod))
+                        rad_s[6] = jnp.where(cly, cldradd1 + rad_n,
+                                             rad_s[6])
+                        rad_s[7] = jnp.where(cly, clrradd1 - rad_n,
+                                             rad_s[7])
+                        rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
+                        rad_s[0] = jnp.where(cly, cldradd1 + clrradd1,
+                                             rad_gas)
+                    radld_n = rad_s[0]
                     icl = cl16[3:4] > 0.0
-                    fclr1, fclr2, fcld1 = (cl16[4:5], cl16[5:6],
-                                           cl16[6:7])
-                    fcld2, fcmb1, fcmb2 = (cl16[7:8], cl16[8:9],
-                                           cl16[9:10])
-                    bbdtot = f * (blay + tftot * dpl)
-                    cldradd = jnp.where(ist, cf * radld, rad_s[6])
-                    clrradd = jnp.where(ist, radld - cf * radld,
-                                        rad_s[7])
-                    rad0 = jnp.where(ist, 0.0, rad_s[8])
-                    ttot = 1.0 - atot
-                    cldsrc = bbdtot * atot
-                    cldradd1 = cldradd * ttot + cf * cldsrc
-                    clrradd1 = (clrradd * (1.0 - atrans)
-                                + (1.0 - cf) * gassrc)
-                    radmod = (rad0 * (fclr1 * (1.0 - atrans)
-                                      + fcld1 * ttot)
-                              - fcmb1 * gassrc + fcmb2 * cldsrc)
-                    rad_n = (-radmod + fclr2 * (clrradd1 + radmod)
-                             - fcld2 * (cldradd1 - radmod))
-                    rad_clr = radld + (bbd - radld) * atrans
-                    radld_n = jnp.where(cly, cldradd1 + clrradd1,
-                                        rad_clr)
-                    rad_s[6] = jnp.where(cly, cldradd1 + rad_n,
-                                         rad_s[6])
-                    rad_s[7] = jnp.where(cly, clrradd1 - rad_n,
-                                         rad_s[7])
-                    rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
                     radclrd = rad_s[1]
                     radclrd_n = jnp.where(icl,
                                           radclrd + (bbd - radclrd)
@@ -464,14 +441,30 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                         def _anyc():
                             flag_s[1:2, :] = cl16[3:4]
                 elif cloudy:
-                    cldf, efc, atot, tftot, cly = c[4:]
-                    bbdtot = f * (blay + tftot * dpl)
-                    rad_cld = (radld - radld * (atrans
-                                                + efc * (1.0 - atrans))
-                               + gassrc
-                               + cldf * (bbdtot * atot - gassrc))
-                    rad_clr = radld + (bbd - radld) * atrans
-                    radld_n = jnp.where(cly, rad_cld, rad_clr)
+                    cldf, cly, lvl_any, cld_opt = ci
+                    if cache:
+                        # the up sweep replays cly (and gates its own
+                        # skip on it), so this row is written ALWAYS;
+                        # atot/tftot/efc rows stay garbage on skipped
+                        # levels — only ever selected where cly is true
+                        cly_s[pl.ds(row, 1)] = cly.astype(jnp.float32)
+                    rad_s[0] = rad_gas
+
+                    @pl.when(lvl_any)
+                    def _cld():
+                        efc, atot, tftot = cld_opt()
+                        if cache:
+                            atot_s[pl.ds(row, 1)] = atot[None]
+                            tftot_s[pl.ds(row, 1)] = tftot[None]
+                            efc_s[pl.ds(row, 1)] = efc[None]
+                        bbdtot = f * (blay + tftot * dpl)
+                        rad_cld = (radld
+                                   - radld * (atrans
+                                              + efc * (1.0 - atrans))
+                                   + gassrc
+                                   + cldf * (bbdtot * atot - gassrc))
+                        rad_s[0] = jnp.where(cly, rad_cld, rad_gas)
+                    radld_n = rad_s[0]
                     flag = jnp.maximum(flag_s[0:1, :],
                                        cly.astype(jnp.float32))
                     radclrd = rad_s[1]
@@ -481,11 +474,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                                           radld_n)
                     flag_s[0:1, :] = flag
                 else:
-                    radld_n = radld + (bbd - radld) * atrans
+                    radld_n = rad_gas
                     radclrd_n = radld_n
-                rad_s[0] = radld_n
+                    rad_s[0] = radld_n
                 rad_s[1] = radclrd_n
-                row = chunk * Lc + k
                 out_r[1, pl.ds(row, 1), :] = jnp.sum(
                     wg * radld_n, axis=0, keepdims=True)
                 out_r[3, pl.ds(row, 1), :] = jnp.sum(
@@ -496,6 +488,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             anyc = (flag_s[1:2, :] if maxrand
                     else flag_s[0:1, :]) > 0.0
             for k in range(Lc):
+                ci = None
                 if cache:
                     # replay the down sweep's per-level factors from
                     # the VMEM cache: no exp/divide/matmul here
@@ -510,79 +503,114 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                             cl16 = rd(cl8_r, k)
                             cldf = jnp.broadcast_to(
                                 cl16[0:1], (G_pad, BT))
+                            cly = cl16[0:1] >= gate_thresh
+                            lvl_any = (jnp.max(cl16[0:1])
+                                       >= gate_thresh)
                         else:
                             cldf = rd(cldf_r, k)
-                        atot = atot_s[pl.ds(row, 1)][0]
-                        tftot = tftot_s[pl.ds(row, 1)][0]
-                        if maxrand:
-                            efc = None
-                            cly = cl16[0:1] >= gate_thresh
-                        else:
-                            efc = efc_s[pl.ds(row, 1)][0]
+                            if cldf.dtype != jnp.float32:
+                                cldf = cldf.astype(jnp.float32)
                             cly = cly_s[pl.ds(row, 1)] > 0.0
+                            lvl_any = jnp.max(
+                                cly_s[pl.ds(row, 1)]) > 0.0
+
+                        def cached_opt(row=row):
+                            atot = atot_s[pl.ds(row, 1)][0]
+                            tftot = tftot_s[pl.ds(row, 1)][0]
+                            efc = (None if maxrand
+                                   else efc_s[pl.ds(row, 1)][0])
+                            return efc, atot, tftot
+                        ci = (cldf, cly, lvl_any, cached_opt)
                 else:
-                    pg, c = common(k, rd(phi_r, k))
-                    f, blay, atrans, tf = c[:4]
-                    if cloudy:
-                        cldf, efc, atot, tftot, cly = c[4:]
-                        if banded or maxrand:
-                            cl16 = rd(cl8_r, k)
+                    pg, g, ci = common(k, rd(phi_r, k))
+                    f, blay, atrans, tf = g
+                    if cloudy and (banded or maxrand):
+                        cl16 = rd(cl8_r, k)
                     dpu = pg - blay
                 bbu = f * (blay + tf * dpu)
                 gassrc = bbu * atrans
                 radlu = rad_s[2]
                 radclru = rad_s[3]
+                rad_gas = radlu + (bbu - radlu) * atrans
                 if maxrand:
                     # rtrnmr up recursion (rrtmg_lw_rtrnmr.f90:678-703)
-                    cf = cl16[0:1]
-                    ist = cl16[1:2] > 0.0
-                    fclr1, fclr2, fcld1 = (cl16[10:11], cl16[11:12],
-                                           cl16[12:13])
-                    fcld2, fcmb1, fcmb2 = (cl16[13:14], cl16[14:15],
-                                           cl16[15:16])
-                    bbut = f * (blay + tftot * dpu)
-                    cldradu = jnp.where(ist, cf * radlu, rad_s[6])
-                    clrradu = jnp.where(ist, radlu - cf * radlu,
-                                        rad_s[7])
-                    rad0 = jnp.where(ist, 0.0, rad_s[8])
-                    ttot = 1.0 - atot
-                    cldsrc = bbut * atot
-                    cldradu1 = cldradu * ttot + cf * cldsrc
-                    clrradu1 = (clrradu * (1.0 - atrans)
-                                + (1.0 - cf) * gassrc)
-                    radmod = (rad0 * (fclr1 * (1.0 - atrans)
-                                      + fcld1 * ttot)
-                              - fcmb1 * gassrc + fcmb2 * cldsrc)
-                    rad_n = (-radmod + fclr2 * (clrradu1 + radmod)
-                             - fcld2 * (cldradu1 - radmod))
-                    rad_clr = radlu + (bbu - radlu) * atrans
-                    radlu_n = jnp.where(cly, cldradu1 + clrradu1,
-                                        rad_clr)
-                    rad_s[6] = jnp.where(cly, cldradu1 + rad_n,
-                                         rad_s[6])
-                    rad_s[7] = jnp.where(cly, clrradu1 - rad_n,
-                                         rad_s[7])
-                    rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
+                    cldf, cly, lvl_any, cld_opt = ci
+                    rad_s[2] = rad_gas
+
+                    @pl.when(lvl_any)
+                    def _mr():
+                        _, atot, tftot = cld_opt()
+                        cf = cl16[0:1]
+                        ist = cl16[1:2] > 0.0
+                        fclr1, fclr2, fcld1 = (cl16[10:11],
+                                               cl16[11:12],
+                                               cl16[12:13])
+                        fcld2, fcmb1, fcmb2 = (cl16[13:14],
+                                               cl16[14:15],
+                                               cl16[15:16])
+                        bbut = f * (blay + tftot * dpu)
+                        cldradu = jnp.where(ist, cf * radlu, rad_s[6])
+                        clrradu = jnp.where(ist, radlu - cf * radlu,
+                                            rad_s[7])
+                        rad0 = jnp.where(ist, 0.0, rad_s[8])
+                        ttot = 1.0 - atot
+                        cldsrc = bbut * atot
+                        cldradu1 = cldradu * ttot + cf * cldsrc
+                        clrradu1 = (clrradu * (1.0 - atrans)
+                                    + (1.0 - cf) * gassrc)
+                        radmod = (rad0 * (fclr1 * (1.0 - atrans)
+                                          + fcld1 * ttot)
+                                  - fcmb1 * gassrc + fcmb2 * cldsrc)
+                        rad_n = (-radmod + fclr2 * (clrradu1 + radmod)
+                                 - fcld2 * (cldradu1 - radmod))
+                        rad_s[6] = jnp.where(cly, cldradu1 + rad_n,
+                                             rad_s[6])
+                        rad_s[7] = jnp.where(cly, clrradu1 - rad_n,
+                                             rad_s[7])
+                        rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
+                        rad_s[2] = jnp.where(cly, cldradu1 + clrradu1,
+                                             rad_gas)
+                    radlu_n = rad_s[2]
                     radclru_n = jnp.where(anyc,
                                           radclru + (bbu - radclru)
                                           * atrans,
                                           radlu_n)
                 elif cloudy:
-                    bbut = f * (blay + tftot * dpu)
-                    rad_cld = (radlu - radlu * (atrans
-                                                + efc * (1.0 - atrans))
-                               + gassrc
-                               + cldf * (bbut * atot - gassrc))
-                    rad_clr = radlu + (bbu - radlu) * atrans
-                    radlu_n = jnp.where(cly, rad_cld, rad_clr)
+                    cldf, cly, lvl_any, cld_opt = ci
+                    rad_s[2] = rad_gas
+                    if idrv:
+                        # the d/dT recursion needs atot where cly —
+                        # stage the blend through scratch row 4 so it
+                        # lives across the pl.when boundary
+                        dlu = rad_s[4]
+                        dlu_gas = dlu * (1.0 - atrans)
+                        rad_s[4] = dlu_gas
+
+                    @pl.when(lvl_any)
+                    def _cld():
+                        efc, atot, tftot = cld_opt()
+                        bbut = f * (blay + tftot * dpu)
+                        rad_cld = (radlu
+                                   - radlu * (atrans
+                                              + efc * (1.0 - atrans))
+                                   + gassrc
+                                   + cldf * (bbut * atot - gassrc))
+                        rad_s[2] = jnp.where(cly, rad_cld, rad_gas)
+                        if idrv:
+                            rad_s[4] = jnp.where(
+                                cly,
+                                dlu * cldf * (1.0 - atot)
+                                + dlu * (1.0 - cldf) * (1.0 - atrans),
+                                dlu_gas)
+                    radlu_n = rad_s[2]
                     radclru_n = jnp.where(anyc,
                                           radclru + (bbu - radclru)
                                           * atrans,
                                           radlu_n)
                 else:
-                    radlu_n = radlu + (bbu - radlu) * atrans
+                    radlu_n = rad_gas
                     radclru_n = radlu_n
-                rad_s[2] = radlu_n
+                    rad_s[2] = radlu_n
                 rad_s[3] = radclru_n
                 row = chunk * Lc + k + 1
                 out_r[0, pl.ds(row, 1), :] = jnp.sum(
@@ -590,20 +618,27 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 out_r[2, pl.ds(row, 1), :] = jnp.sum(
                     wg * radclru_n, axis=0, keepdims=True)
                 if idrv:
-                    dlu = rad_s[4]
                     dclru = rad_s[5]
-                    if cloudy:
+                    if maxrand:
+                        # (the Pallas maxrand path never runs idrv in
+                        # production — rt_maxrandom_pallas forwards
+                        # idrv to the same where-blend as the XLA path)
+                        cldf, cly, _la, cld_opt2 = ci
+                        _, atot2, _t = cld_opt2()
+                        dlu = rad_s[4]
                         dlu_n = jnp.where(
                             cly,
-                            dlu * cldf * (1.0 - atot)
+                            dlu * cldf * (1.0 - atot2)
                             + dlu * (1.0 - cldf) * (1.0 - atrans),
                             dlu * (1.0 - atrans))
-                        dclru_n = jnp.where(anyc, dclru * (1.0 - atrans),
-                                            dlu_n)
+                        rad_s[4] = dlu_n
+                    elif cloudy:
+                        dlu_n = rad_s[4]      # staged by the blend
                     else:
-                        dlu_n = dlu * (1.0 - atrans)
-                        dclru_n = dlu_n
-                    rad_s[4] = dlu_n
+                        dlu_n = rad_s[4] * (1.0 - atrans)
+                        rad_s[4] = dlu_n
+                    dclru_n = jnp.where(anyc, dclru * (1.0 - atrans),
+                                        dlu_n) if cloudy else dlu_n
                     rad_s[5] = dclru_n
                     out_r[4, pl.ds(row, 1), :] = jnp.sum(
                         wg * dlu_n, axis=0, keepdims=True)
@@ -868,7 +903,6 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
                         tuple(float(v) for v in delwave),
                         bool(resident), bool(cache), bool(fused),
                         bool(compact), bool(banded), bool(maxrand),
-                        bool(os.environ.get("RRTMG_RT_ONE_DIV")),
                         bool(interpret))
     out = run(Bp, *arrays)                           # (NOUT, L1p, Bp)
     out = jnp.moveaxis(out[:, :L + 1, :B], 2, 1)     # (NOUT, B, L+1)

@@ -495,23 +495,35 @@ def test_model_maxrand_unaligned_batch_dispatch(monkeypatch):
                                    atol=2e-5 * scale, err_msg=name)
 
 
-def test_one_div_knob_parity(stack, monkeypatch):
-    """RRTMG_RT_ONE_DIV (shared-reciprocal cloudy gas factors) must
-    match the two-division form to f32 rounding."""
+def test_sparse_cloud_levels_match_dense(stack):
+    """The per-(tile, level) cloudy-stream skip (pl.when on the
+    any-cloudy scalar) must be invisible: a batch whose cloud mask is
+    zero everywhere except a few layers gives bitwise the same fluxes
+    as the unskipped math (where cly is all-false the blended radiance
+    already equals the gas-only advance)."""
     model, prof, sc, taut, fracs, cldf, odcld = stack
     kw = dict(static=model.static_np, idrv=0, heatfac_val=model.heatfac)
-
-    def run():
-        return rtp.rt_random_overlap_pallas(
-            taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
-            sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz, cldf,
-            odcld, cloudy=True, gate_thresh=0.5, interpret=True, **kw)
-
-    base = run()
-    monkeypatch.setenv("RRTMG_RT_ONE_DIV", "1")
-    out = run()
+    # zero out all but two cloudy layers
+    cldf2 = np.asarray(cldf).copy()
+    keep = [5, 6]
+    mask = np.zeros(cldf2.shape[1], bool)
+    mask[keep] = True
+    cldf2[:, ~mask, :] = 0.0
+    out = rtp.rt_random_overlap_pallas(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+        jnp.asarray(cldf2), odcld, cloudy=True, gate_thresh=0.5,
+        interpret=True, **kw)
+    # the XLA reference path (no skip) on the identical inputs
+    gate = jnp.asarray(cldf2) >= 0.5
+    ref = rt.rt_random_overlap(
+        taut, fracs, sc.planklay, sc.planklev, sc.plankbnd,
+        sc.dplankbnd_dt, prof.semiss, prof.pwvcm, prof.pz,
+        jnp.asarray(cldf2), odcld, cloudy_lay=jnp.any(gate, axis=-1),
+        cld_gate=gate, static=model.static_np, luts=None,
+        use_lut=False, idrv=0, heatfac_val=model.heatfac)
     for name in ["totuflux", "totdflux", "totuclfl", "totdclfl"]:
-        a = np.asarray(getattr(base, name))
+        a = np.asarray(getattr(ref, name))
         b = np.asarray(getattr(out, name))
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(b, a, atol=2e-6 * scale,

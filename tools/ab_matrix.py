@@ -31,7 +31,7 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-KNOBS = ["RRTMG_RT_TILE", "RRTMG_RT_LC", "RRTMG_RT_ONE_DIV",
+KNOBS = ["RRTMG_RT_TILE", "RRTMG_RT_LC",
          "RRTMG_RT_NO_RESIDENT", "RRTMG_RT_NO_CACHE",
          "RRTMG_PLANCK_TILE", "RRTMG_TAUMOL_TILE"]
 
@@ -45,7 +45,6 @@ CONFIGS = [
     ("lc20", {"RRTMG_RT_LC": "20"}),
     ("lc30", {"RRTMG_RT_LC": "30"}),
     ("tile256_lc10", {"RRTMG_RT_TILE": "256", "RRTMG_RT_LC": "10"}),
-    ("one_div", {"RRTMG_RT_ONE_DIV": "1"}),
     ("ptile2048", {"RRTMG_PLANCK_TILE": "2048"}),
     ("ptile1024", {"RRTMG_PLANCK_TILE": "1024"}),
     ("no_resident", {"RRTMG_RT_NO_RESIDENT": "1"}),
@@ -66,7 +65,6 @@ CONFIGS = [
     ("lc12", {}),                       # alias of baseline (defaults)
     ("r3_lc6", {"RRTMG_RT_LC": "6"}),
     ("r3_lc20", {"RRTMG_RT_LC": "20"}),
-    ("r3_onediv", {"RRTMG_RT_ONE_DIV": "1"}),
 ]
 
 
