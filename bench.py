@@ -169,12 +169,57 @@ def main():
 
     detail = []
 
+    # documented device-time design floors, per column, at nlay=60
+    # (PERF_NOTES round-3 derivation at B=16k: taumol
+    # selection-matmul floor 5.7 ms + HBM/pack ~2 ms; RT VPU sweep
+    # elementwise floor ~4-5 ms cloudy / ~3 ms clear; planck+cldcoef
+    # ~1 ms).  floor_util = floor / measured device time; null where
+    # no floor has been derived (deep profiles).
+    floor_us_per_col = {"clear": 9.0e3 / 16384,
+                        "mcica_cloudy": 12.5e3 / 16384}
+
+    def device_time(name, step, args, B, L):
+        """Per-iteration device ms from a short xprof trace (immune
+        to axon dispatch gaps / tunnel jitter, which the wall numbers
+        include)."""
+        if platform != "tpu" or os.environ.get("BENCH_DEVICE_TRACE",
+                                               "1") == "0":
+            return None, None
+        from rrtmg_lw_tpu.utils.device_time import \
+            device_seconds_per_iter
+        state = {"eps": jnp.zeros((), jnp.float32), "out": None}
+
+        def run_iter():
+            state["out"], state["eps"] = step(*args, state["eps"])
+            return state["out"]
+
+        try:
+            dev_s, _detail = device_seconds_per_iter(run_iter, iters=3)
+        except Exception as e:                       # noqa: BLE001
+            print(f"device trace failed for {name}: "
+                  f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
+            return None, None
+        if dev_s is None:
+            return None, None
+        floor = floor_us_per_col.get(name)
+        util = (floor * B * 1e-6 / dev_s
+                if (floor is not None and L == 60 and dev_s > 0)
+                else None)
+        return dev_s, util
+
     def record(name, B, L, t, spread, extra=None):
+        dev_s, util = device_time(name, *extra.pop("_step_args"),
+                                  B, L) if extra and "_step_args" in \
+            extra else (None, None)
         row = {"workload": name, "ncol": B, "nlay": L,
                "layout": layout, "tile": resolve_tile(B),
                "ms_per_step": round(t * 1e3, 3),
                "cols_per_sec": round(B / t, 1),
                "spread": round(spread, 4),
+               "device_ms": (round(dev_s * 1e3, 3)
+                             if dev_s is not None else None),
+               "floor_util": (round(util, 3)
+                              if util is not None else None),
                "iters": iters, "repeats": repeats,
                "platform": platform}
         if extra:
@@ -190,9 +235,11 @@ def main():
         mask_dtype=np.int8 if layout == "compact" else None))
 
     t_clr, s_clr = _bench_one(clr_step, (atm,), iters, repeats)
-    record("clear", ncol, nlay, t_clr, s_clr)
+    record("clear", ncol, nlay, t_clr, s_clr,
+           {"_step_args": (clr_step, (atm,))})
     t_cld, s_cld = _bench_one(cld_step, (atm, clouds), iters, repeats)
-    record("mcica_cloudy", ncol, nlay, t_cld, s_cld)
+    record("mcica_cloudy", ncol, nlay, t_cld, s_cld,
+           {"_step_args": (cld_step, (atm, clouds))})
 
     # deep-atmosphere workload (GCM production depths)
     if run_deep:
@@ -203,7 +250,8 @@ def main():
             mask_dtype=np.int8 if layout == "compact" else None))
         t_d, s_d = _bench_one(cld_step, (atm_d, clouds_d),
                               max(3, iters // 2), repeats)
-        record("mcica_cloudy_deep", deep_ncol, deep_nlay, t_d, s_d)
+        record("mcica_cloudy_deep", deep_ncol, deep_nlay, t_d, s_d,
+               {"_step_args": (cld_step, (atm_d, clouds_d))})
 
     cols_per_sec = 2.0 * ncol / (t_clr + t_cld)
 

@@ -39,6 +39,14 @@ class LWConfig:
                                # when dtype is float32)
     rt_impl: str = "auto"      # radiative-transfer sweep backend, same
                                # scheme; pallas requires use_lut=False
+    pallas_interpret: bool = False  # run the Pallas kernels in
+                               # interpret mode (CPU emulation): lets
+                               # the kernel paths — incl. under a
+                               # virtual shard_map mesh — execute
+                               # without TPU hardware.  Set taumol_impl
+                               # / rt_impl to 'pallas' explicitly with
+                               # this ('auto' still resolves to xla off
+                               # TPU).
     dtype: str = "float64" # compute dtype for the column physics
     cpdair: float = 1.004e3
 

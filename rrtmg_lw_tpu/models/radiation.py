@@ -59,7 +59,8 @@ class RRTMGLW:
                                  and dtype == jnp.float32) else "xla")
         if impl == "pallas":
             from ..ops.taumol_pallas import PallasTaumol
-            self.engine = PallasTaumol(ktables, self.static_np)
+            self.engine = PallasTaumol(ktables, self.static_np,
+                                       interpret=config.pallas_interpret)
         rt_impl = config.rt_impl
         if rt_impl == "auto":
             rt_impl = ("pallas" if (jax.default_backend() == "tpu"
@@ -174,9 +175,11 @@ class RRTMGLW:
                 totplnk = self.static["totplnk"]
                 planck_args = (
                     planck_interp_blocked(prof.tavel.T, totplnk,
-                                          tile=ptile),
+                                          tile=ptile,
+                                          interpret=cfg.pallas_interpret),
                     planck_interp_blocked(prof.tz.T, totplnk,
-                                          tile=ptile))
+                                          tile=ptile,
+                                          interpret=cfg.pallas_interpret))
                 planck_b = True
         elif native:
             sc = setcoef(prof, self.static, istart=cfg.istart,
@@ -222,7 +225,8 @@ class RRTMGLW:
                     native="blocked" if blocked else native,
                     clouds_blocked=clouds_blocked,
                     planck_blocked=planck_b,
-                    cloud_fields=cloud_fields)
+                    cloud_fields=cloud_fields,
+                    interpret=cfg.pallas_interpret)
             gate = (cldf_g >= thresh) if cloudy \
                 else jnp.zeros(taut.shape, bool)
             return rt.rt_random_overlap(
@@ -256,7 +260,8 @@ class RRTMGLW:
                 abi_t, abl_t, bounds_ok = \
                     cld_ops.cloud_optics_bands_blocked(
                         clouds, self.static_np, iceflag=cfg.iceflag,
-                        liqflag=cfg.liqflag)
+                        liqflag=cfg.liqflag,
+                        interpret=cfg.pallas_interpret)
                 cw_t = jnp.pad(
                     jnp.stack([clouds.ciwp.T, clouds.clwp.T], axis=1),
                     ((0, 0), (0, 6), (0, 0))).astype(dtype)
@@ -270,7 +275,8 @@ class RRTMGLW:
                 abi_t, abl_t, bounds_ok = \
                     cld_ops.cloud_optics_bands_blocked(
                         clouds, self.static_np, iceflag=cfg.iceflag,
-                        liqflag=cfg.liqflag)
+                        liqflag=cfg.liqflag,
+                        interpret=cfg.pallas_interpret)
                 out = run_rt(None, None, True, 0.5, cloud_fields=(
                     clouds.cldfmc, clouds.ciwpmc, clouds.clwpmc,
                     clouds.taucmc, abi_t, abl_t))
@@ -322,7 +328,8 @@ class RRTMGLW:
                 else:
                     taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
                         clouds, self.static_np, inflag=cfg.inflag,
-                        iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                        iceflag=cfg.iceflag, liqflag=cfg.liqflag,
+                        interpret=cfg.pallas_interpret)
                 cl8_t = jnp.pad(clouds.cldfrac.T[:, None, :],
                                 ((0, 0), (0, 7), (0, 0))).astype(dtype)
                 out = run_rt(None, None, True, 1.0e-6,
@@ -336,7 +343,8 @@ class RRTMGLW:
                 else:
                     taucb_t, bounds_ok = cld_ops.cldprop_banded_blocked(
                         clouds, self.static_np, inflag=cfg.inflag,
-                        iceflag=cfg.iceflag, liqflag=cfg.liqflag)
+                        iceflag=cfg.iceflag, liqflag=cfg.liqflag,
+                        interpret=cfg.pallas_interpret)
                 play, plev = (planck_args if planck_b
                               else (sc.planklay, sc.planklev))
                 out = rtp.rt_maxrandom_pallas(
@@ -346,7 +354,8 @@ class RRTMGLW:
                     taua=prof.taua, static=self.static_np,
                     idrv=cfg.idrv, heatfac_val=self.heatfac,
                     istart=cfg.istart, iend=cfg.iend,
-                    planck_blocked=planck_b)
+                    planck_blocked=planck_b,
+                    interpret=cfg.pallas_interpret)
             else:
                 weighted = taucb_dyn_w is not None
                 if weighted:

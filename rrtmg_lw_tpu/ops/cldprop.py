@@ -185,7 +185,8 @@ def cldprmc_blocked(clouds, tables: dict, *, inflag: int,
 
 
 def cloud_optics_bands_blocked(clouds, tables: dict, *, iceflag: int,
-                               liqflag: int, use_pallas=None):
+                               liqflag: int, use_pallas=None,
+                               interpret=False):
     """Per-band ice/liquid absorption coefficients in the blocked
     (L, 16, B) layout + bounds flag (B, L), for the RT kernel's fused
     in-kernel cldprmc (inflag=2).  Only the (B, L)-sized particle-size
@@ -202,7 +203,7 @@ def cloud_optics_bands_blocked(clouds, tables: dict, *, iceflag: int,
     reic, relq = clouds.reicmc, clouds.relqmc
     B = reic.shape[0]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
+        use_pallas = ((jax.default_backend() == "tpu" or interpret)
                       and dtype == jnp.float32
                       and iceflag in (2, 3) and liqflag == 1
                       and B % 128 == 0)
@@ -210,7 +211,8 @@ def cloud_optics_bands_blocked(clouds, tables: dict, *, iceflag: int,
         from .cldcoef_pallas import ice_liq_coeffs_blocked
         tile = max(t for t in (512, 256, 128) if B % t == 0)
         abi_t, abl_t = ice_liq_coeffs_blocked(
-            reic, relq, iceflag, liqflag, tables, tile=tile)
+            reic, relq, iceflag, liqflag, tables, tile=tile,
+            interpret=interpret)
         rmax = 131.0 if iceflag == 2 else 140.0
         ok = ((reic >= 5.0) & (reic <= rmax)
               & (relq >= 2.5) & (relq <= 60.0))
@@ -378,7 +380,8 @@ def cldprop(clouds: BandClouds, tables: dict, *, inflag: int,
 
 
 def cldprop_banded_blocked(clouds: BandClouds, tables: dict, *,
-                           inflag: int, iceflag: int, liqflag: int):
+                           inflag: int, iceflag: int, liqflag: int,
+                           interpret=False):
     """cldprop emitting the per-band cloud od directly in the blocked
     (L, 16, B) layout (for the RT kernel's in-kernel band->g
     expansion), plus bounds_ok (B, L).  Numerically identical to
@@ -404,7 +407,7 @@ def cldprop_banded_blocked(clouds: BandClouds, tables: dict, *,
                                 (L, 16, B))
         return jnp.where(act_t, grey, 0.0), jnp.ones((B, L), bool)
 
-    use_pallas = (jax.default_backend() == "tpu"
+    use_pallas = ((jax.default_backend() == "tpu" or interpret)
                   and dtype == jnp.float32
                   and iceflag in (2, 3) and liqflag == 1
                   and B % 128 == 0)
@@ -413,7 +416,7 @@ def cldprop_banded_blocked(clouds: BandClouds, tables: dict, *,
         tile = max(t for t in (512, 256, 128) if B % t == 0)
         abi_t, abl_t = ice_liq_coeffs_blocked(
             clouds.reic, clouds.relq, iceflag, liqflag, tables,
-            tile=tile)
+            tile=tile, interpret=interpret)
         rmax = 131.0 if iceflag == 2 else 140.0
         ok = ((clouds.reic >= 5.0) & (clouds.reic <= rmax)
               & (clouds.relq >= 2.5) & (clouds.relq <= 60.0))

@@ -116,9 +116,36 @@ def planck_interp_blocked(temp_t, totplnk, *, tile=512, interpret=False):
     for _ in range(3):
         p32 = (rem.view(np.uint32) & 0xFFFF0000).view(np.float32)
         rem = rem - p32
-        levels.append(p32.astype(jnp.bfloat16))
+        # the real invariant: the truncated level must survive the
+        # bf16 round trip bit-for-bit (a value below the bf16
+        # subnormal floor would round to zero while rem was already
+        # reduced — rem-exactness alone would not catch that)
+        lvl16 = p32.astype(jnp.bfloat16)
+        assert np.array_equal(np.asarray(lvl16, np.float32), p32)
+        levels.append(lvl16)
     assert not rem.any()
+    assert np.array_equal(
+        sum(np.asarray(p, np.float32) for p in levels), t32)
     tbl2 = jnp.asarray(np.concatenate(
         [np.asarray(p) for p in levels], axis=0))        # (48, KPAD)
     run = _build(int(tile), bool(interpret))
-    return run(tbl2, temp_t.astype(jnp.float32))
+    tbl_f32 = jnp.asarray(np.asarray(totplnk, np.float32))  # (181, 16)
+
+    # reverse mode: d planck / d T is exactly the interpolation slope
+    # v1 - v0 (frac = T - 159 - ind has unit derivative, including on
+    # the clamp branches, which extrapolate with the same slope)
+    @jax.custom_vjp
+    def interp(temp32):
+        return run(tbl2, temp32)
+
+    def fwd(temp32):
+        return interp(temp32), temp32
+
+    def bwd(temp32, ct):                                 # ct (L, 16, B)
+        ind = jnp.clip((temp32 - 159.0).astype(jnp.int32), 1, 180)
+        slope = (jnp.take(tbl_f32, ind, axis=0)
+                 - jnp.take(tbl_f32, ind - 1, axis=0))   # (L, B, 16)
+        return (jnp.einsum("lkb,lbk->lb", ct, slope),)
+
+    interp.defvjp(fwd, bwd)
+    return interp(temp_t.astype(jnp.float32))

@@ -230,7 +230,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 srows.append(surf_r[48:64, :])
             sexp = edot_multi(srows)
             sem_g, pbnd_g = sexp[0], sexp[1]
-            f0 = fracs_r[0]
+            f0 = fracs_r[0].astype(jnp.float32)
             rad0 = f0 * pbnd_g
             reflect = 1.0 - sem_g
             radlu0 = rad0 + reflect * rad_s[0]
@@ -254,8 +254,10 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             LEVEL row expanded together with every other band-resolution
             row of this level in ONE batched expansion dot.  Returns
             (pg, <the level tuple>)."""
-            t = rd(taut_r, k)
-            f = rd(fracs_r, k)
+            # upcast on read: taug/fracs may store bf16/f16 in HBM
+            # (RRTMG_SPEC_DTYPE); no-op at the f32 default
+            t = rd(taut_r, k).astype(jnp.float32)
+            f = rd(fracs_r, k).astype(jnp.float32)
             rows = [rd(play_r, k), plev_row]
             if with_taua:
                 rows.append(rd(taua_r, k))
@@ -493,7 +495,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     # replay the down sweep's per-level factors from
                     # the VMEM cache: no exp/divide/matmul here
                     row = chunk * Lc + k
-                    f = rd(fracs_r, k)
+                    f = rd(fracs_r, k).astype(jnp.float32)
                     atrans = at_s[pl.ds(row, 1)][0]
                     tf = tf_s[pl.ds(row, 1)][0]
                     blay = blay_s[pl.ds(row, 1)][0]
@@ -536,6 +538,15 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     # rtrnmr up recursion (rrtmg_lw_rtrnmr.f90:678-703)
                     cldf, cly, lvl_any, cld_opt = ci
                     rad_s[2] = rad_gas
+                    if idrv:
+                        # stage the d/dT blend through scratch row 4
+                        # inside the pl.when body (as the random-overlap
+                        # path does): atot is only read where the down
+                        # sweep wrote it, never from all-clear levels'
+                        # uninitialized cache rows
+                        dlu = rad_s[4]
+                        dlu_gas = dlu * (1.0 - atrans)
+                        rad_s[4] = dlu_gas
 
                     @pl.when(lvl_any)
                     def _mr():
@@ -570,6 +581,15 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                         rad_s[8] = jnp.where(cly, rad_n, rad_s[8])
                         rad_s[2] = jnp.where(cly, cldradu1 + clrradu1,
                                              rad_gas)
+                        if idrv:
+                            # (the Pallas maxrand path never runs idrv
+                            # in production — rt_maxrandom_pallas
+                            # forwards idrv to the XLA where-blend)
+                            rad_s[4] = jnp.where(
+                                cly,
+                                dlu * cldf * (1.0 - atot)
+                                + dlu * (1.0 - cldf) * (1.0 - atrans),
+                                dlu_gas)
                     radlu_n = rad_s[2]
                     radclru_n = jnp.where(anyc,
                                           radclru + (bbu - radclru)
@@ -619,20 +639,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     wg * radclru_n, axis=0, keepdims=True)
                 if idrv:
                     dclru = rad_s[5]
-                    if maxrand:
-                        # (the Pallas maxrand path never runs idrv in
-                        # production — rt_maxrandom_pallas forwards
-                        # idrv to the same where-blend as the XLA path)
-                        cldf, cly, _la, cld_opt2 = ci
-                        _, atot2, _t = cld_opt2()
-                        dlu = rad_s[4]
-                        dlu_n = jnp.where(
-                            cly,
-                            dlu * cldf * (1.0 - atot2)
-                            + dlu * (1.0 - cldf) * (1.0 - atrans),
-                            dlu * (1.0 - atrans))
-                        rad_s[4] = dlu_n
-                    elif cloudy:
+                    if cloudy:                # incl. maxrand
                         dlu_n = rad_s[4]      # staged by the blend
                     else:
                         dlu_n = rad_s[4] * (1.0 - atrans)
@@ -770,7 +777,11 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     else:
         B, L, G = taut.shape
     dtype = taut.dtype
-    assert dtype == jnp.float32
+    # blocked taut/fracs may arrive in the reduced HBM storage dtype
+    # (RRTMG_SPEC_DTYPE experiment); everything else must be f32
+    assert dtype == jnp.float32 or (
+        blocked and dtype in (jnp.bfloat16, jnp.float16))
+    dtype = jnp.float32
     # launch-shape A/B knobs (tools/ab_matrix.py sweeps these on-chip;
     # read at trace time, so each setting needs a fresh jit)
     if tile is None:
@@ -993,8 +1004,10 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
             odcld_g = jnp.where(
                 active, ciwp * absc_i + clwp * absc_l, tauc)
         if blocked:
-            taut = jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1))
-            fracs = jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1))
+            taut = jnp.transpose(taut[:, :len(ngb0), :B],
+                                 (2, 0, 1)).astype(jnp.float32)
+            fracs = jnp.transpose(fracs[:, :len(ngb0), :B],
+                                  (2, 0, 1)).astype(jnp.float32)
         elif native:
             taut = jnp.transpose(taut, (2, 1, 0))
             fracs = jnp.transpose(fracs, (2, 1, 0))
@@ -1132,8 +1145,10 @@ def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
     def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldfrac, taucb_t,
                    taua):
-        taut_b = jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1))
-        fracs_b = jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1))
+        taut_b = jnp.transpose(taut[:, :len(ngb0), :B],
+                               (2, 0, 1)).astype(jnp.float32)
+        fracs_b = jnp.transpose(fracs[:, :len(ngb0), :B],
+                                (2, 0, 1)).astype(jnp.float32)
         if planck_blocked:
             planklay = jnp.transpose(planklay[:, :, :B], (2, 0, 1))
             planklev = jnp.transpose(planklev[:, :, :B], (2, 0, 1))

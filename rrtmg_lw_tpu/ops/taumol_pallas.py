@@ -581,6 +581,15 @@ class PallasTaumol:
         self.dtype = jnp.float32
         self.tile = tile
         self.interpret = interpret
+        # HBM storage dtype for the taug/fracs round trip to the RT
+        # kernel (blocked path only).  The write+read is 2.3 GB of the
+        # ~2.6 GB/step minimum HBM traffic at B=16k; bf16/f16 halve
+        # it at reduced precision (A/B via tools/spec_dtype_ab.py —
+        # parity gates whether it ever becomes a default)
+        self.spec_dtype = {"": jnp.float32, "f32": jnp.float32,
+                           "bf16": jnp.bfloat16,
+                           "f16": jnp.float16}[
+            os.environ.get("RRTMG_SPEC_DTYPE", "")]
         self.nsplit = nsplit
         self.nsplit_w = nsplit_w
         self.window = window
@@ -719,9 +728,10 @@ class PallasTaumol:
 
         if blocked:
             def read_out(ref):
-                return ref[0, :140, :]
+                return ref[0, :140, :].astype(jnp.float32)
 
             def write_out(ref, arr):      # arr (140, T)
+                arr = arr.astype(ref.dtype)
                 ref[0, :, :] = jnp.concatenate(
                     [arr, jnp.zeros((GP - 140, arr.shape[1]),
                                     arr.dtype)], axis=0)
@@ -1047,10 +1057,11 @@ class PallasTaumol:
                     omap = lambda i: (i // nbt, 0, i % nbt)
                 ospec = pl.BlockSpec((1, GP, T), omap,
                                      memory_space=pltpu.VMEM)
+                sdt = self.spec_dtype
                 return call(
                     L * nbt,
-                    (jax.ShapeDtypeStruct((L, GP, B), jnp.float32),
-                     jax.ShapeDtypeStruct((L, GP, B), jnp.float32)),
+                    (jax.ShapeDtypeStruct((L, GP, B), sdt),
+                     jax.ShapeDtypeStruct((L, GP, B), sdt)),
                     (ospec, ospec), wb, scf, sci, tabs)
 
             return run

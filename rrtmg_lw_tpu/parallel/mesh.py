@@ -57,12 +57,19 @@ def shardings_for(tree, mesh: Mesh):
     blocked/compact cloud layouts carry columns on the LAST axis of
     their (L, G_pad, B) per-g arrays."""
     from ..types import McicaCloudsBlocked, McicaCloudsCompact
+    from .wire import WireBatch
     bs = batch_sharding(mesh)
     last = NamedSharding(mesh, P(None, None, COLUMNS))
     if isinstance(tree, McicaCloudsBlocked):
         return McicaCloudsBlocked(last, last, last, last, bs, bs)
     if isinstance(tree, McicaCloudsCompact):
         return McicaCloudsCompact(last, bs, bs, bs, bs)
+    if isinstance(tree, WireBatch):
+        # codes shard over columns; reference profiles replicate
+        rep = replicated(mesh)
+        return WireBatch(
+            {k: bs for k in tree.cols},
+            jax.tree_util.tree_map(lambda x: rep, tree.refs))
     if isinstance(tree, (tuple, list)) and not hasattr(tree, "_fields"):
         return type(tree)(shardings_for(t, mesh) for t in tree)
     if isinstance(tree, dict):

@@ -1,0 +1,230 @@
+"""Compressed host->device streaming wire format.
+
+The production dataflow is H2D-bound: the reference ships full-f64
+text/array columns (rrtmg_lw.1col.f90:447), the round-3 device_gen
+pipeline ~4.8 KB/column of f32 — and the interconnect, not the chip,
+sets the sustained columns/s (STREAM_r03: device computes ~1.3M
+cols/s, the tunnel feeds 18k).  A TPU-native wire format ships
+compact integer codes and dequantizes on device INSIDE the jit step
+(fused elementwise ops, negligible device cost):
+
+* per-BATCH f32 reference profiles (one (L,) median profile per
+  field — amortized over thousands of columns), plus
+* per-column uint16 codes against that reference:
+    - ``logratio``: u = quantized log(x / ref_level).  Smooth positive
+      fields (pressures, gas vmr, water paths).  With a per-batch
+      range of ~[-2, 2] nats the step is 6e-5 RELATIVE — far below
+      f16's 4.9e-4 and uniform across magnitudes.  Code 0 is an exact
+      zero sentinel (cloud water in clear layers, zero gas channels).
+    - ``delta``: u = quantized (x - ref_level).  Temperatures: a
+      +-30 K batch range gives 0.9 mK steps.
+    - ``unit``: fixed [0, 1] quantization (cloud fraction,
+      emissivity).
+    - ``linear``: per-batch [lo, hi] quantization (particle sizes).
+* all-zero channels (CFCs, CO in GCM feeds) ship as a 1-byte flag.
+
+At nlay=60 with the 6 active gases this is ~1.8 KB/column — ~2.7x
+less wire than device_gen — while the decoded fields land within
+~1e-4 relative of the f32 originals (the flux impact is gated at
+<= 1e-2 W/m^2 by tests/test_wire.py).
+
+Encoding is host-side numpy (vectorized, runs on the prefetch
+thread); decoding is jnp inside the step.  WireBatch is a pytree
+whose ``cols`` shard over the columns mesh axis and whose ``refs``
+replicate (mesh.shardings_for understands the layout).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..types import Atmosphere
+
+_U16 = 65535.0
+
+
+class WireBatch(NamedTuple):
+    """cols: name -> (B, ...) uint16 codes (sharded over columns);
+    refs: name -> small f32 reference/range arrays (replicated)."""
+    cols: dict
+    refs: dict
+
+
+# ---------------------------------------------------------------------------
+# host-side encoders (numpy)
+# ---------------------------------------------------------------------------
+def _enc_logratio(x):
+    """(codes uint16, refs (ref_level, lo, hi)).  Code 0 == exact 0."""
+    x = np.asarray(x, np.float64)
+    ref = np.median(x, axis=0)                    # (L,) or ()
+    pos = x > 0.0
+    ref = np.where(ref > 0.0, ref,
+                   np.where(pos, x, 1.0).max(axis=0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(pos, np.log(x / ref), 0.0)
+    rv = r[pos] if pos.any() else np.zeros(1)
+    lo, hi = float(rv.min()), float(rv.max())
+    hi = max(hi, lo + 1e-12)
+    u = np.rint((r - lo) / (hi - lo) * (_U16 - 1.0)).astype(np.int64) + 1
+    u = np.where(pos, u, 0)
+    return u.astype(np.uint16), (ref.astype(np.float32),
+                                 np.float32(lo), np.float32(hi))
+
+
+def _enc_delta(x):
+    x = np.asarray(x, np.float64)
+    ref = np.median(x, axis=0)
+    d = x - ref
+    lo, hi = float(d.min()), float(d.max())
+    hi = max(hi, lo + 1e-12)
+    u = np.rint((d - lo) / (hi - lo) * _U16).astype(np.uint16)
+    return u, (ref.astype(np.float32), np.float32(lo), np.float32(hi))
+
+
+def _enc_unit(x):
+    u = np.rint(np.clip(np.asarray(x, np.float64), 0.0, 1.0) * _U16)
+    return u.astype(np.uint16), ()
+
+
+def _enc_linear(x):
+    x = np.asarray(x, np.float64)
+    lo, hi = float(x.min()), float(x.max())
+    hi = max(hi, lo + 1e-12)
+    u = np.rint((x - lo) / (hi - lo) * _U16).astype(np.uint16)
+    return u, (np.float32(lo), np.float32(hi))
+
+
+# ---------------------------------------------------------------------------
+# device-side decoders (jnp, inside jit)
+# ---------------------------------------------------------------------------
+def _dec_logratio(u, refs, dtype):
+    ref, lo, hi = refs
+    r = lo + (u.astype(dtype) - 1.0) * ((hi - lo) / (_U16 - 1.0))
+    return jnp.where(u == 0, 0.0, ref.astype(dtype) * jnp.exp(r)
+                     ).astype(dtype)
+
+
+def _dec_delta(u, refs, dtype):
+    ref, lo, hi = refs
+    return (ref.astype(dtype) + lo
+            + u.astype(dtype) * ((hi - lo) / _U16)).astype(dtype)
+
+
+def _dec_unit(u, refs, dtype):
+    return (u.astype(dtype) / _U16).astype(dtype)
+
+
+def _dec_linear(u, refs, dtype):
+    lo, hi = refs
+    return (lo + u.astype(dtype) * ((hi - lo) / _U16)).astype(dtype)
+
+
+_CODECS = {"logratio": (_enc_logratio, _dec_logratio),
+           "delta": (_enc_delta, _dec_delta),
+           "unit": (_enc_unit, _dec_unit),
+           "linear": (_enc_linear, _dec_linear)}
+
+# field -> codec kind
+ATM_FIELDS = {
+    "play": "logratio", "plev": "logratio",
+    "tlay": "delta", "tlev": "delta", "tsfc": "delta",
+    "h2ovmr": "logratio", "co2vmr": "logratio", "o3vmr": "logratio",
+    "n2ovmr": "logratio", "covmr": "logratio", "ch4vmr": "logratio",
+    "o2vmr": "logratio", "cfc11vmr": "logratio",
+    "cfc12vmr": "logratio", "cfc22vmr": "logratio",
+    "ccl4vmr": "logratio",
+    "emis": "unit",
+}
+CLOUD_FIELDS = {
+    "cldfrac": "unit", "ciwp": "logratio", "clwp": "logratio",
+    "rei": "linear", "rel": "linear",
+}
+
+
+def _encode(fields, tree_dict):
+    cols, refs = {}, {}
+    for name, kind in fields.items():
+        if name not in tree_dict:
+            continue
+        x = np.asarray(tree_dict[name])
+        if not x.any():
+            refs[name] = None          # all-zero channel: flag only
+            continue
+        if x.ndim > 1 and bool((x == x[:1]).all()):
+            # column-uniform channel (well-mixed gases in GCM feeds,
+            # constant particle sizes): ship ONE exact f32 row per
+            # batch, zero bytes per column
+            refs[name] = {"uniform": x[0].astype(np.float32)}
+            continue
+        enc, _ = _CODECS[kind]
+        cols[name], refs[name] = enc(x)
+    return WireBatch(cols, refs)
+
+
+def _decode(fields, wire, shape_of, dtype):
+    out = {}
+    for name, kind in fields.items():
+        if name not in wire.refs:
+            continue
+        r = wire.refs[name]
+        if r is None:
+            out[name] = jnp.zeros(shape_of(name), dtype)
+            continue
+        if isinstance(r, dict):        # uniform channel
+            out[name] = jnp.broadcast_to(
+                r["uniform"].astype(dtype), shape_of(name))
+            continue
+        _, dec = _CODECS[kind]
+        out[name] = dec(wire.cols[name], r, dtype)
+    return out
+
+
+def encode_atmosphere(atm) -> WireBatch:
+    """Atmosphere (or its field dict; host numpy/jax arrays, f32/f64)
+    -> WireBatch.  ``tauaer`` is intentionally NOT shipped (the device
+    keeps a resident aerosol state; pass it to decode_atmosphere)."""
+    d = atm if isinstance(atm, dict) else atm._asdict()
+    d = {k: v for k, v in d.items() if k != "tauaer"}
+    return _encode(ATM_FIELDS, d)
+
+
+def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
+                      ) -> Atmosphere:
+    # shapes from the device-resident aerosol state: every wire
+    # channel may be uniform/zero, so cols can't be the shape source
+    B, L = tauaer.shape[:2]
+
+    def shape_of(name):
+        return {"tsfc": (B,), "emis": (B, 16),
+                "plev": (B, L + 1), "tlev": (B, L + 1)}.get(name, (B, L))
+
+    d = _decode(ATM_FIELDS, wire, shape_of, dtype)
+    return Atmosphere(tauaer=tauaer, **d)
+
+
+def encode_cloud_profiles(cp: dict) -> WireBatch:
+    """(B, L) cloud profile fields {cldfrac, ciwp, clwp, rei, rel}
+    (the device-side McICA generator's inputs) -> WireBatch."""
+    return _encode(CLOUD_FIELDS, cp)
+
+
+def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32) -> dict:
+    any_col = next(iter(wire.cols.values()))
+    return _decode(CLOUD_FIELDS, wire, lambda name: any_col.shape,
+                   dtype)
+
+
+def wire_bytes(wire: WireBatch) -> int:
+    n = sum(int(np.asarray(v).nbytes) for v in wire.cols.values())
+    for r in wire.refs.values():
+        if r is None:
+            n += 1
+        elif isinstance(r, dict):
+            n += int(np.asarray(r["uniform"]).nbytes)
+        else:
+            n += sum(int(np.asarray(x).nbytes) for x in r)
+    return n

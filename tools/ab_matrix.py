@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--configs", default="",
                     help="comma-separated subset of config names")
     ap.add_argument("--modes", default="clear,cloudy")
+    ap.add_argument("--out", default="AB_MATRIX.json",
+                    help="output file name (repo root); use "
+                         "AB_MATRIX_DEEP.json for the nlay=140 sweep")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
     args = ap.parse_args()
@@ -161,7 +164,7 @@ def main():
     for k in KNOBS:
         os.environ.pop(k, None)
 
-    out = REPO / "AB_MATRIX.json"
+    out = REPO / args.out
     out.write_text(json.dumps(results, indent=1))
     print(f"wrote {out}")
 

@@ -1,0 +1,126 @@
+"""A/B the taug/fracs HBM storage dtype (VERDICT r3 next #6).
+
+The taug+fracs write+read between the taumol and RT kernels is
+2.3 GB of the ~2.6 GB/step minimum HBM traffic at B=16k (~1.4 ms of
+a ~16 ms step).  RRTMG_SPEC_DTYPE=bf16|f16 stores those arrays
+reduced; this tool measures, in ONE process back-to-back (the chip
+drifts between processes):
+
+  * cloudy/clear step wall per dtype (chained timing), and
+  * the on-chip flux delta vs the f32 baseline on identical inputs.
+
+Decision rule (PERF_NOTES): keep only if the parity stays within the
+tpu_verify tolerance (3.1e-5 relative); otherwise record and revert.
+
+Usage (TPU): python tools/spec_dtype_ab.py [--ncol 16384] [--iters 10]
+"""
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def bench(step, args, iters):
+    eps = jnp.zeros((), jnp.float32)
+    out, eps = step(*args, eps)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, eps = step(*args, eps)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ncol", type=int, default=16384)
+    ap.add_argument("--nlay", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.ncol, args.iters = 256, 2
+
+    from rrtmg_lw_tpu import LWConfig, make_model
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_mcica_clouds)
+
+    B, L = args.ncol, args.nlay
+    platform = jax.default_backend()
+    interpret = platform != "tpu"
+    dev = jax.devices()[0]
+    atm = jax.device_put(
+        make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32), dev)
+    clouds = jax.device_put(
+        make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                          layout="compact",
+                          mask_dtype=np.int8 if platform == "tpu"
+                          else None), dev)
+    jax.block_until_ready((atm, clouds))
+
+    results = []
+    ref = {}
+    for sdt in ("f32", "bf16", "f16"):
+        os.environ["RRTMG_SPEC_DTYPE"] = sdt
+        row = {"spec_dtype": sdt, "ncol": B, "nlay": L,
+               "platform": platform}
+        try:
+            kw = dict(dtype="float32", use_lut=False)
+            if interpret:
+                kw.update(taumol_impl="pallas", rt_impl="pallas",
+                          pallas_interpret=True)
+            cld_model = make_model(LWConfig(icld=2, imca=1, **kw))
+            clr_model = make_model(LWConfig(icld=0, **kw))
+
+            @jax.jit
+            def cld(a, c, eps, model=cld_model):
+                fl = model(a._replace(tlay=a.tlay + eps), c)
+                return fl, fl.uflx[0, 0] * 1e-20
+
+            @jax.jit
+            def clr(a, eps, model=clr_model):
+                fl = model(a._replace(tlay=a.tlay + eps), None)
+                return fl, fl.uflx[0, 0] * 1e-20
+
+            row["cloudy_ms"] = bench(cld, (atm, clouds),
+                                     args.iters) * 1e3
+            row["clear_ms"] = bench(clr, (atm,), args.iters) * 1e3
+            fl, _ = cld(atm, clouds, jnp.zeros((), jnp.float32))
+            flx = {n: np.asarray(getattr(fl, n))
+                   for n in ("uflx", "dflx", "hr")}
+            if sdt == "f32":
+                ref.update(flx)
+            else:
+                for n, v in flx.items():
+                    d = np.abs(v - ref[n]).max()
+                    row[f"max_abs_d_{n}"] = float(d)
+                row["rel_uflx"] = float(
+                    np.abs(flx["uflx"] - ref["uflx"]).max()
+                    / np.abs(ref["uflx"]).max())
+        except Exception as e:                        # noqa: BLE001
+            row["error"] = f"{type(e).__name__}: {e}"[:300]
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    os.environ.pop("RRTMG_SPEC_DTYPE", None)
+
+    (REPO / "SPEC_DTYPE_AB.json").write_text(
+        json.dumps(results, indent=1))
+    print("wrote SPEC_DTYPE_AB.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -173,13 +173,18 @@ def main():
         # against the SUSTAINED transfer cost, not the burst one
         t0 = time.perf_counter()
         for i in range(nsteps):
-            jax.block_until_ready(put(batches_host[i % K]))
+            jax.block_until_ready(put(batches_host[i % len(batches_host)]))
         t_put_seq = time.perf_counter() - t0
 
         tot_comp = nsteps * t_comp
         denom = min(t_put_seq, tot_comp)
         overlap = ((t_put_seq + tot_comp - t_wall) / denom
                    if denom > 0 else 0.0)
+        # compute utilization: fraction of the streamed wall the device
+        # spent computing.  overlap 1.0 with low compute_util means the
+        # pipeline is H2D-bound and mostly idle on compute — report both
+        # so "perfect overlap" can't read as "compute-saturated".
+        compute_util = tot_comp / t_wall if t_wall > 0 else 0.0
         row = dict(
             design=name, ncol=B, nlay=L, steps=nsteps,
             total_columns=nsteps * cols_per_step,
@@ -195,6 +200,15 @@ def main():
             wall_s=round(t_wall, 2),
             cols_per_sec=round(nsteps * cols_per_step / t_wall, 1),
             overlap_efficiency=round(max(0.0, min(1.0, overlap)), 3),
+            # unclamped value + the raw triple: the put-only pass runs
+            # in a separate window on a drifting tunnel, so values >1
+            # (or <0) expose that drift instead of being hidden by the
+            # clamp
+            overlap_unclamped=round(overlap, 3),
+            overlap_raw_s=dict(t_put_seq=round(t_put_seq, 3),
+                               tot_comp=round(tot_comp, 3),
+                               t_wall=round(t_wall, 3)),
+            compute_util=round(compute_util, 3),
             bound=("h2d" if t_put_seq > tot_comp else "compute"))
         results[name] = row
         print(json.dumps(row))
@@ -239,6 +253,31 @@ def main():
 
     run_phase("device_gen", gen_batches,
               lambda b, i: step_gen(b[0], b[1], i % len(keys)),
+              args.steps, B)
+
+    # ---- device_gen_wire design (compressed wire format) -------------
+    # same dataflow as device_gen, but the host ships uint16
+    # ratio/delta codes + per-batch reference profiles (parallel.wire)
+    # and the step dequantizes on device — ~2.7x less wire
+    from rrtmg_lw_tpu.parallel import wire as w
+
+    wire_batches = [(w.encode_atmosphere(atm_fields[i]),
+                     w.encode_cloud_profiles(cloud_profiles(B, L, i)))
+                    for i in range(K)]
+
+    @jax.jit
+    def step_wire(ea, ec, i):
+        key = jax.random.wrap_key_data(keys[i])
+        atm = w.decode_atmosphere(ea, taua0)
+        cp = w.decode_cloud_profiles(ec)
+        clouds = mcica_subcol_lw_compact(
+            key, 2, cp["cldfrac"], cp["ciwp"], cp["clwp"],
+            cp["rei"], cp["rel"],
+            mask_dtype=jnp.int8 if platform == "tpu" else None)
+        return model(atm, clouds)
+
+    run_phase("device_gen_wire", wire_batches,
+              lambda b, i: step_wire(b[0], b[1], i % len(keys)),
               args.steps, B)
 
     out = dict(platform=platform, device=str(jax.devices()[0]),
