@@ -1,10 +1,14 @@
 """Native (C++) acceleration for host-side work.
 
-Currently: fparse — the Fortran numeric-literal scanner used by the
-data-asset pipeline (see native/fparse.cc).  Loaded via ctypes; built
-on demand with g++ if the shared object is missing.  Every native entry
-point has a pure-Python fallback, so the framework never hard-requires
-the toolchain.
+Components (see native/*.cc; loaded via ctypes, built on demand with
+g++ when the shared object is missing; every native entry point has a
+pure-Python/numpy fallback so the framework never hard-requires the
+toolchain):
+
+  fparse    — Fortran numeric-literal scanner (data-asset pipeline)
+  wirecodec — streaming wire-format encoders (parallel/wire.py); run
+              per-batch on the prefetch thread, bit-identical to the
+              numpy reference encoders
 """
 
 from __future__ import annotations
@@ -91,3 +95,73 @@ def _extract_numbers_py(text: str) -> np.ndarray:
 
 def available() -> bool:
     return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# wirecodec — streaming wire-format encoders (parallel/wire.py)
+# ---------------------------------------------------------------------------
+_WSO = _NATIVE_DIR / "libwirecodec.so"
+_wlib = None
+_wtried = False
+
+
+def _wload():
+    global _wlib, _wtried
+    if _wtried:
+        return _wlib
+    _wtried = True
+    if not _WSO.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_WSO))
+        pd = ctypes.POINTER(ctypes.c_double)
+        pu = ctypes.POINTER(ctypes.c_uint16)
+        lib.wc_enc_logratio.restype = ctypes.c_longlong
+        lib.wc_enc_logratio.argtypes = [pd, ctypes.c_longlong,
+                                        ctypes.c_longlong, pd, pd, pu]
+        lib.wc_enc_delta.restype = None
+        lib.wc_enc_delta.argtypes = lib.wc_enc_logratio.argtypes
+        _wlib = lib
+    except OSError:
+        _wlib = None
+    return _wlib
+
+
+def _wcall(fn_name, x):
+    """Shared driver: x (B, ...) float64 C-contiguous -> (codes uint16,
+    ref float64 (inner...), (lo, hi)) or None if native unavailable."""
+    lib = _wload()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    B = x.shape[0]
+    inner = x.shape[1:]
+    K = int(np.prod(inner, dtype=np.int64)) if inner else 1
+    ref = np.empty(max(K, 1), np.float64)
+    rng = np.empty(2, np.float64)
+    u = np.empty((B, max(K, 1)), np.uint16)
+    pd = ctypes.POINTER(ctypes.c_double)
+    pu = ctypes.POINTER(ctypes.c_uint16)
+    res = getattr(lib, fn_name)(
+        x.reshape(B, K).ctypes.data_as(pd), B, K,
+        ref.ctypes.data_as(pd), rng.ctypes.data_as(pd),
+        u.ctypes.data_as(pu))
+    return (u.reshape((B,) + inner), ref.reshape(inner),
+            float(rng[0]), float(rng[1]), res)
+
+
+def wire_enc_logratio(x):
+    """Native logratio encoder or None; see wirecodec.cc."""
+    return _wcall("wc_enc_logratio", x)
+
+
+def wire_enc_delta(x):
+    return _wcall("wc_enc_delta", x)
+
+
+def wire_available() -> bool:
+    return _wload() is not None

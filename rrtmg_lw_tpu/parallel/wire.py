@@ -36,6 +36,7 @@ replicate (mesh.shardings_for understands the layout).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -55,10 +56,24 @@ class WireBatch(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# host-side encoders (numpy)
+# host-side encoders (C++ via ctypes when available — bit-identical
+# spec, see native/wirecodec.cc — else numpy)
 # ---------------------------------------------------------------------------
+def _native():
+    if os.environ.get("RRTMG_WIRE_NATIVE", "1") == "0":
+        return None
+    from .. import native
+    return native if native.wire_available() else None
+
+
 def _enc_logratio(x):
     """(codes uint16, refs (ref_level, lo, hi)).  Code 0 == exact 0."""
+    nat = _native()
+    if nat is not None and np.ndim(x) >= 1:
+        u, ref, lo, hi, _npos = nat.wire_enc_logratio(
+            np.asarray(x, np.float64))
+        return u, (ref.astype(np.float32), np.float32(lo),
+                   np.float32(hi))
     x = np.asarray(x, np.float64)
     ref = np.median(x, axis=0)                    # (L,) or ()
     pos = x > 0.0
@@ -76,6 +91,11 @@ def _enc_logratio(x):
 
 
 def _enc_delta(x):
+    nat = _native()
+    if nat is not None and np.ndim(x) >= 1:
+        u, ref, lo, hi, _ = nat.wire_enc_delta(np.asarray(x, np.float64))
+        return u, (ref.astype(np.float32), np.float32(lo),
+                   np.float32(hi))
     x = np.asarray(x, np.float64)
     ref = np.median(x, axis=0)
     d = x - ref

@@ -162,6 +162,85 @@ def main():
     check_model("model_maxrand_icld2",
                 dict(icld=2, imca=0, inflag=2, iceflag=3, liqflag=1), bc)
 
+    # ---- compressed wire format (round 4): decoded-on-device inputs
+    # must reproduce the direct-input fluxes within the 1e-2 W/m^2
+    # quantization budget (absolute; tests/test_wire.py is the CPU
+    # twin of this check)
+    from rrtmg_lw_tpu.parallel import wire as w
+    from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
+
+    def cp_fields(ncol, nlay, seed=0):
+        rng = np.random.default_rng(seed)
+        cf = np.zeros((ncol, nlay), np.float32)
+        lo = 3 + rng.integers(0, 3, ncol)
+        rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
+        cf[np.arange(ncol)[:, None], rows] = (
+            0.3 + 0.5 * rng.random((ncol, 1))).astype(np.float32)
+        return dict(
+            cldfrac=cf,
+            ciwp=np.where(cf > 0, 20.0 + 15.0 * rng.random(
+                (ncol, nlay)), 0.0).astype(np.float32),
+            clwp=np.where(cf > 0, 15.0 + 10.0 * rng.random(
+                (ncol, nlay)), 0.0).astype(np.float32),
+            rei=np.full((ncol, nlay), 25.0, np.float32),
+            rel=np.full((ncol, nlay), 12.0, np.float32))
+
+    cpf = cp_fields(B, 60)
+    wkey = jax.random.key(11)
+    _, wire_model = models(icld=2, imca=1, inflag=2, iceflag=3,
+                           liqflag=1)
+
+    def wgen(cldfrac, c):
+        return mcica_subcol_lw_compact(
+            wkey, 2, cldfrac, c["ciwp"], c["clwp"], c["rei"], c["rel"])
+
+    @jax.jit
+    def step_direct(a, c):
+        return wire_model(a, wgen(c["cldfrac"], c))
+
+    @jax.jit
+    def step_wire(ea, ec, tauaer, cldfrac_direct):
+        a2 = w.decode_atmosphere(ea, tauaer)
+        c2 = w.decode_cloud_profiles(ec)
+        full = wire_model(a2, wgen(c2["cldfrac"], c2))
+        same_mask = wire_model(a2, wgen(cldfrac_direct, c2))
+        flips = (wgen(c2["cldfrac"], c2).cldfmc
+                 != wgen(cldfrac_direct, c2).cldfmc).mean()
+        return full, same_mask, flips
+
+    cpj = jax.tree_util.tree_map(jnp.asarray, cpf)
+    f_dir = step_direct(atm, cpj)
+    f_full, f_same, flips = step_wire(
+        w.encode_atmosphere(atm), w.encode_cloud_profiles(cpf),
+        jnp.asarray(atm.tauaer), cpj["cldfrac"])
+    # continuous-input quantization with identical McICA mask
+    # realizations: the true input-noise budget
+    err_abs = max(
+        np.abs(np.asarray(getattr(f_same, n), np.float64)
+               - np.asarray(getattr(f_dir, n), np.float64)).max()
+        for n in ("uflx", "dflx", "uflxc", "dflxc"))
+    record("model_wire_input_noise_abs_wm2", err_abs, 1e-2,
+           dict(units="W/m2 absolute"))
+    # full wire: the mask generator is discontinuous in cldfrac, so
+    # quantization flips a few sub-column bits — a statistically
+    # equivalent cloud sample (same as reseeding the RNG).  Gate the
+    # clear-sky fluxes (mask-free) absolutely and the total-sky
+    # fluxes in batch mean.
+    err_clr = max(
+        np.abs(np.asarray(getattr(f_full, n), np.float64)
+               - np.asarray(getattr(f_dir, n), np.float64)).max()
+        for n in ("uflxc", "dflxc"))
+    err_mean = max(
+        np.abs(np.asarray(getattr(f_full, n), np.float64).mean(0)
+               - np.asarray(getattr(f_dir, n), np.float64).mean(0)
+               ).max()
+        for n in ("uflx", "dflx"))
+    record("model_wire_full_clear_abs_wm2", err_clr, 1e-2,
+           dict(units="W/m2 absolute"))
+    record("model_wire_full_mean_abs_wm2", err_mean, 5e-3,
+           dict(units="W/m2 absolute batch-mean",
+                mask_flip_fraction=float(flips)))
+
     # ---- deep profile (chunked-input + level-cache VMEM plan) ------
     atm_l = make_atmosphere(ncol=256, nlay=140, dtype=jnp.float32)
     mc140 = make_mcica_clouds(ncol=256, nlay=140, dtype=jnp.float32)
