@@ -113,13 +113,22 @@ def _check_printed(blocks, raws, tmp_path):
                                    atol=5.1e-4, rtol=0)
 
 
-def test_clear_deck_values(env, tmp_path):
-    """MLS clear, iout=99: total block + every per-band block."""
+@pytest.mark.parametrize("deck", [
+    "input_rrtm_MLS-clr",            # iout=99: total + 16 band blocks
+    "input_rrtm_MLW-clr",            # RRTATM MODEL=3
+    "input_rrtm_SAW-clr",            # MODEL=5
+    "input_rrtm_TROP-clr",           # MODEL=1
+    "input_rrtm_ICRCCM_sonde",       # user-supplied radiosonde levels
+])
+def test_clear_deck_values(env, tmp_path, deck):
+    """Every clear reference deck, value-pinned against the oracle
+    (MLS exercises iout=99: total block + every per-band block)."""
     from rrtmg_lw_tpu.cli import run_case
-    case = _parse("input_rrtm_MLS-clr")
+    case = _parse(deck)
     assert case.icld == 0 and case.imca == 0
     blocks, raws = run_case(case, return_raw=True)
-    assert len(raws) == 17                       # iout=99
+    if deck == "input_rrtm_MLS-clr":
+        assert len(raws) == 17                   # iout=99
     orc = _run_clear_oracle(case, env)
     _check_raw(raws[0], orc["totuflux"], orc["totdflux"], orc["htr"])
     _check_printed(blocks, raws, tmp_path)
@@ -188,18 +197,24 @@ def test_maxrandom_cloud_deck_values(env, tmp_path):
     _check_printed(blocks, raws, tmp_path)
 
 
-def test_mcica_deck_values_nmca2(env, tmp_path):
-    """cld7 imca=1 icld=4 idcor=0 at nmca=2: the CLI's vectorized
-    2-sample batch + mean must equal per-sample oracle runs averaged."""
+@pytest.mark.parametrize("deck,cld,icld,idcor", [
+    ("input_rrtm_MLS-cld-imca1-icld4-idcor0", "in_cld_rrtm-cld7", 4, 0),
+    ("input_rrtm_MLS-cld-imca1-icld2", "in_cld_rrtm-cld5", 2, 0),
+    ("input_rrtm_MLS-cld-imca1-icld5-idcor0", "in_cld_rrtm-cld7", 5, 0),
+    ("input_rrtm_MLS-cld-imca1-icld5-idcor1", "in_cld_rrtm-cld7", 5, 1),
+])
+def test_mcica_deck_values_nmca2(env, tmp_path, deck, cld, icld, idcor):
+    """Every McICA reference deck at nmca=2: the CLI's vectorized
+    2-sample batch + mean must equal per-sample oracle runs averaged
+    (covers overlap modes 2/4/5 and both decorrelation treatments)."""
     static, ktab, luts = env
     import jax.numpy as jnp
     from rrtmg_lw_tpu.cli import run_case
     from rrtmg_lw_tpu.ops import mcica
     from rrtmg_lw_tpu.ops.cldprop import cldprmc
     from rrtmg_lw_tpu.types import McicaClouds
-    case = _parse("input_rrtm_MLS-cld-imca1-icld4-idcor0",
-                  cld="in_cld_rrtm-cld7")
-    assert case.imca == 1 and case.icld == 4
+    case = _parse(deck, cld=cld)
+    assert case.imca == 1 and case.icld == icld and case.idcor == idcor
     nmca = 2
     blocks, raws = run_case(case, nmca=nmca, return_raw=True)
     o, taut, fr, ngb0 = _oracle_spectral(case, static, ktab)
