@@ -36,22 +36,6 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def cloud_fields(ncol, nlay, seed):
-    rng = np.random.default_rng(seed)
-    cldfrac = np.zeros((ncol, nlay), np.float32)
-    lo = 3 + rng.integers(0, 3, ncol)
-    rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
-    cldfrac[np.arange(ncol)[:, None], rows] = (
-        0.3 + 0.5 * rng.random((ncol, 1))).astype(np.float32)
-    wet = cldfrac > 0
-    return dict(
-        cldfrac=cldfrac,
-        ciwp=np.where(wet, 20.0 + 15.0 * rng.random((ncol, nlay)),
-                      0.0).astype(np.float32),
-        clwp=np.where(wet, 15.0 + 10.0 * rng.random((ncol, nlay)),
-                      0.0).astype(np.float32),
-        rei=np.full((ncol, nlay), 25.0, np.float32),
-        rel=np.full((ncol, nlay), 12.0, np.float32))
 
 
 def main():
@@ -62,6 +46,9 @@ def main():
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.steps < 2:
+        ap.error("--steps must be >= 2 (the first step is compile "
+                 "warmup, outside the clock)")
 
     import jax
     import jax.numpy as jnp
@@ -72,7 +59,9 @@ def main():
     from rrtmg_lw_tpu import parallel as par
     from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
     from rrtmg_lw_tpu.parallel import wire as w
-    from rrtmg_lw_tpu.utils.synthetic import make_atmosphere
+    from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
+                                              make_cloud_profile_fields
+                                              as cloud_fields)
 
     B, L = args.ncol, args.nlay
     mesh = par.make_mesh(jax.devices())
@@ -88,17 +77,22 @@ def main():
     def host_batches():
         """The host side: generate (or load), then wire-encode.  This
         runs on the prefetch worker thread, overlapped with device
-        compute."""
+        compute.  schema="coded" pins the WireBatch pytree structure:
+        with auto-detection, a channel flipping between zero/uniform/
+        encoded across batches would change the jit signature and
+        force a recompile mid-stream (pin a captured w.schema_of(...)
+        instead to keep the smaller auto wire)."""
         for i in range(args.steps):
             atm = make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32,
                                   seed=i)
-            yield (w.encode_atmosphere(atm),
-                   w.encode_cloud_profiles(cloud_fields(B, L, i)))
+            yield (w.encode_atmosphere(atm, schema="coded"),
+                   w.encode_cloud_profiles(cloud_fields(B, L, i),
+                                           schema="coded"))
 
     @jax.jit
     def step(ea, ec, i):
         atm = w.decode_atmosphere(ea, taua0)
-        cp = w.decode_cloud_profiles(ec)
+        cp = w.decode_cloud_profiles(ec, like=atm.play)
         clouds = mcica_subcol_lw_compact(
             jax.random.wrap_key_data(keys[i]), 2, cp["cldfrac"],
             cp["ciwp"], cp["clwp"], cp["rei"], cp["rel"])

@@ -165,24 +165,55 @@ CLOUD_FIELDS = {
 }
 
 
-def _encode(fields, tree_dict):
+def _encode(fields, tree_dict, schema=None):
+    """schema: None (auto-detect zero/uniform/coded per channel — the
+    smallest wire, but the WireBatch PYTREE STRUCTURE then depends on
+    the data, and a channel changing category between batches retraces
+    the consuming jit), or "coded" (every present channel fully
+    encoded — stable structure for streams), or a {name: mode} dict
+    captured from a representative batch via ``schema_of`` (raises on
+    violation instead of silently changing structure)."""
+    if schema == "coded":
+        schema = {name: "coded" for name in fields}
     cols, refs = {}, {}
     for name, kind in fields.items():
         if name not in tree_dict:
             continue
         x = np.asarray(tree_dict[name])
-        if not x.any():
+        is_zero = not x.any()
+        is_unif = x.ndim > 1 and bool((x == x[:1]).all())
+        mode = (schema or {}).get(name) or (
+            "zero" if is_zero else "uniform" if is_unif else "coded")
+        if mode == "zero":
+            if not is_zero:
+                raise ValueError(
+                    f"wire schema violation: channel {name!r} is "
+                    "declared all-zero but this batch has data "
+                    "(re-capture the schema; the consuming jit must "
+                    "recompile for the new structure)")
             refs[name] = None          # all-zero channel: flag only
-            continue
-        if x.ndim > 1 and bool((x == x[:1]).all()):
+        elif mode == "uniform":
+            if not is_unif:
+                raise ValueError(
+                    f"wire schema violation: channel {name!r} is "
+                    "declared column-uniform but this batch varies "
+                    "per column (re-capture the schema)")
             # column-uniform channel (well-mixed gases in GCM feeds,
             # constant particle sizes): ship ONE exact f32 row per
             # batch, zero bytes per column
             refs[name] = {"uniform": x[0].astype(np.float32)}
-            continue
-        enc, _ = _CODECS[kind]
-        cols[name], refs[name] = enc(x)
+        else:
+            enc, _ = _CODECS[kind]
+            cols[name], refs[name] = enc(x)
     return WireBatch(cols, refs)
+
+
+def schema_of(wire: WireBatch) -> dict:
+    """{channel: 'zero' | 'uniform' | 'coded'} of an encoded batch —
+    pass to encode_* to pin the pytree structure across a stream."""
+    return {name: ("zero" if r is None
+                   else "uniform" if isinstance(r, dict) else "coded")
+            for name, r in wire.refs.items()}
 
 
 def _decode(fields, wire, shape_of, dtype):
@@ -203,13 +234,15 @@ def _decode(fields, wire, shape_of, dtype):
     return out
 
 
-def encode_atmosphere(atm) -> WireBatch:
+def encode_atmosphere(atm, schema=None) -> WireBatch:
     """Atmosphere (or its field dict; host numpy/jax arrays, f32/f64)
     -> WireBatch.  ``tauaer`` is intentionally NOT shipped (the device
-    keeps a resident aerosol state; pass it to decode_atmosphere)."""
+    keeps a resident aerosol state; pass it to decode_atmosphere).
+    ``schema``: see _encode — pin it across a stream to keep the jit
+    signature stable."""
     d = atm if isinstance(atm, dict) else atm._asdict()
     d = {k: v for k, v in d.items() if k != "tauaer"}
-    return _encode(ATM_FIELDS, d)
+    return _encode(ATM_FIELDS, d, schema)
 
 
 def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
@@ -226,16 +259,28 @@ def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
     return Atmosphere(tauaer=tauaer, **d)
 
 
-def encode_cloud_profiles(cp: dict) -> WireBatch:
+def encode_cloud_profiles(cp: dict, schema=None) -> WireBatch:
     """(B, L) cloud profile fields {cldfrac, ciwp, clwp, rei, rel}
     (the device-side McICA generator's inputs) -> WireBatch."""
-    return _encode(CLOUD_FIELDS, cp)
+    return _encode(CLOUD_FIELDS, cp, schema)
 
 
-def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32) -> dict:
-    any_col = next(iter(wire.cols.values()))
-    return _decode(CLOUD_FIELDS, wire, lambda name: any_col.shape,
-                   dtype)
+def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32, *,
+                          like=None) -> dict:
+    """``like``: any (B, L) array supplying the output shape (e.g.
+    the decoded atmosphere's ``play``) — required when EVERY cloud
+    channel is zero/uniform (a fully clear or constant-cloud batch
+    ships no per-column codes at all)."""
+    if like is not None:
+        shape = like.shape
+    elif wire.cols:
+        shape = next(iter(wire.cols.values())).shape
+    else:
+        raise ValueError(
+            "decode_cloud_profiles: no per-column codes in this batch "
+            "(all channels zero/uniform) — pass like=<any (B, L) "
+            "array> for the output shape")
+    return _decode(CLOUD_FIELDS, wire, lambda name: shape, dtype)
 
 
 def wire_bytes(wire: WireBatch) -> int:

@@ -80,12 +80,17 @@ def device_seconds_per_iter(run_iter, iters=3, logdir=None):
     own = logdir is None
     if own:
         logdir = tempfile.mkdtemp(prefix="xprof_bench_")
-    with jax.profiler.trace(logdir):
-        out = None
-        for _ in range(iters):
-            out = run_iter()
-        jax.block_until_ready(out)
-    parsed = _parse_trace(logdir)
+    try:
+        with jax.profiler.trace(logdir):
+            out = None
+            for _ in range(iters):
+                out = run_iter()
+            jax.block_until_ready(out)
+        parsed = _parse_trace(logdir)
+    finally:
+        if own:
+            import shutil
+            shutil.rmtree(logdir, ignore_errors=True)
     if parsed is None:
         return None, {"error": "no device lanes found in trace"}
     return parsed["busy_ms"] / 1e3 / iters, parsed

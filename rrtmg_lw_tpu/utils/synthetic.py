@@ -191,3 +191,27 @@ def make_mcica_clouds(ncol=4, nlay=51, seed=2, dtype=jnp.float64,
     return McicaClouds(
         cldfmc=arr(cldf), ciwpmc=arr(ciwp), clwpmc=arr(clwp),
         taucmc=arr(tauc), reicmc=arr(reic), relqmc=arr(relq))
+
+
+def make_cloud_profile_fields(ncol=4, nlay=51, seed=0):
+    """(B, L) cloud profile fields {cldfrac, ciwp, clwp, rei, rel} —
+    the device-side McICA generator's inputs (mcica_subcol_lw_compact).
+    One 4-layer deck of partial cloud per column; the SINGLE source for
+    the streaming bench, the wire tests, the on-chip verify and the
+    examples (previously four hand-mirrored copies)."""
+    rng = np.random.default_rng(seed)
+    cldfrac = np.zeros((ncol, nlay), np.float32)
+    lo = 3 + rng.integers(0, 3, ncol)
+    rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
+    cols = np.arange(ncol)[:, None]
+    cldfrac[cols, rows] = (0.3 + 0.5 * rng.random((ncol, 1))
+                           ).astype(np.float32)
+    wet = cldfrac > 0
+    return dict(
+        cldfrac=cldfrac,
+        ciwp=np.where(wet, 20.0 + 15.0 * rng.random((ncol, nlay)),
+                      0.0).astype(np.float32),
+        clwp=np.where(wet, 15.0 + 10.0 * rng.random((ncol, nlay)),
+                      0.0).astype(np.float32),
+        rei=np.full((ncol, nlay), 25.0, np.float32),
+        rel=np.full((ncol, nlay), 12.0, np.float32))

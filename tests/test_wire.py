@@ -23,21 +23,8 @@ from rrtmg_lw_tpu.utils.synthetic import make_atmosphere
 B, L = 64, 60
 
 
-def cloud_profiles(ncol, nlay, seed=0):
-    rng = np.random.default_rng(seed)
-    cldfrac = np.zeros((ncol, nlay), np.float32)
-    lo = 3 + rng.integers(0, 3, ncol)
-    rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
-    cols = np.arange(ncol)[:, None]
-    cldfrac[cols, rows] = (0.3 + 0.5 * rng.random((ncol, 1))
-                           ).astype(np.float32)
-    ciwp = np.where(cldfrac > 0, 20.0 + 15.0 * rng.random(
-        (ncol, nlay)), 0.0).astype(np.float32)
-    clwp = np.where(cldfrac > 0, 15.0 + 10.0 * rng.random(
-        (ncol, nlay)), 0.0).astype(np.float32)
-    rei = np.full((ncol, nlay), 25.0, np.float32)
-    rel = np.full((ncol, nlay), 12.0, np.float32)
-    return dict(cldfrac=cldfrac, ciwp=ciwp, clwp=clwp, rei=rei, rel=rel)
+from rrtmg_lw_tpu.utils.synthetic import \
+    make_cloud_profile_fields as cloud_profiles  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -126,7 +113,7 @@ def test_flux_impact_within_budget(atm):
     @jax.jit
     def step_wire(ea, ec, tauaer, cldfrac_direct):
         a = w.decode_atmosphere(ea, tauaer)
-        c = w.decode_cloud_profiles(ec)
+        c = w.decode_cloud_profiles(ec, like=a.play)
         full = model(a, gen(c["cldfrac"], c))
         same_mask = model(a, gen(cldfrac_direct, c))
         flips = (gen(c["cldfrac"], c).cldfmc
@@ -154,6 +141,50 @@ def test_flux_impact_within_budget(atm):
                    - np.asarray(getattr(ref, name)).mean(0)).max()
         assert d < 5e-3, (name, d)
     assert float(flips) < 1e-3, float(flips)
+
+
+def test_schema_pins_pytree_structure(atm):
+    """Auto-detected wire structure is data-dependent; a pinned
+    schema keeps the treedef identical across batches (no mid-stream
+    jit retraces) and raises loudly on a real category change."""
+    cp = cloud_profiles(B, L)
+    clear = {k: (np.zeros_like(v) if k in ("cldfrac", "ciwp", "clwp")
+                 else v) for k, v in cp.items()}
+    # auto: clear batch drops channels -> different treedef
+    t_cloudy = jax.tree_util.tree_structure(w.encode_cloud_profiles(cp))
+    t_clear = jax.tree_util.tree_structure(
+        w.encode_cloud_profiles(clear))
+    assert t_cloudy != t_clear
+    # coded schema: identical treedef, and the clear batch decodes to
+    # exact zeros with shape from `like`
+    e_cloudy = w.encode_cloud_profiles(cp, schema="coded")
+    e_clear = w.encode_cloud_profiles(clear, schema="coded")
+    assert (jax.tree_util.tree_structure(e_cloudy)
+            == jax.tree_util.tree_structure(e_clear))
+    dec = w.decode_cloud_profiles(e_clear, like=cp["cldfrac"])
+    assert not np.asarray(dec["cldfrac"]).any()
+    assert not np.asarray(dec["ciwp"]).any()
+    np.testing.assert_allclose(np.asarray(dec["rei"]), cp["rei"],
+                               rtol=2e-4)
+    # captured schema round-trips and enforces itself
+    sch = w.schema_of(e_cloudy)
+    assert set(sch.values()) == {"coded"}
+    sch_auto = w.schema_of(w.encode_cloud_profiles(clear))
+    assert sch_auto["cldfrac"] == "zero"
+    with pytest.raises(ValueError, match="schema violation"):
+        w.encode_cloud_profiles(cp, schema=sch_auto)
+
+
+def test_clear_batch_decode_requires_like():
+    cp = cloud_profiles(B, L)
+    clear = {k: (np.zeros_like(v) if k in ("cldfrac", "ciwp", "clwp")
+                 else v) for k, v in cp.items()}
+    enc = w.encode_cloud_profiles(clear)      # auto: no cols at all
+    assert not enc.cols
+    with pytest.raises(ValueError, match="like"):
+        w.decode_cloud_profiles(enc)
+    dec = w.decode_cloud_profiles(enc, like=cp["cldfrac"])
+    assert not np.asarray(dec["clwp"]).any()
 
 
 def test_native_encoder_matches_numpy(atm):
@@ -201,7 +232,7 @@ def test_wire_under_sharded_mesh(atm):
 
     def step_fn(ea, ec):
         a = w.decode_atmosphere(ea, taua0)
-        c = w.decode_cloud_profiles(ec)
+        c = w.decode_cloud_profiles(ec, like=a.play)
         clouds = mcica_subcol_lw_compact(
             key, 2, c["cldfrac"], c["ciwp"], c["clwp"], c["rei"],
             c["rel"])

@@ -33,15 +33,21 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def bench(step, args, iters):
+def bench(step, args, iters, windows=3):
+    """Best-of-``windows`` chained timing (the first window after a
+    compile carries an ~800 ms one-off tunnel stall — see
+    tools/ab_matrix.py)."""
     eps = jnp.zeros((), jnp.float32)
     out, eps = step(*args, eps)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, eps = step(*args, eps)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, eps = step(*args, eps)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():

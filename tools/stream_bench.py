@@ -45,20 +45,8 @@ sys.path.insert(0, str(ROOT))
 
 def cloud_profiles(ncol, nlay, seed):
     """(B, L) cloud profile fields for the device-side generator."""
-    rng = np.random.default_rng(seed)
-    cldfrac = np.zeros((ncol, nlay), np.float32)
-    lo = 3 + rng.integers(0, 3, ncol)
-    rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
-    cols = np.arange(ncol)[:, None]
-    cldfrac[cols, rows] = (0.3 + 0.5 * rng.random((ncol, 1))
-                           ).astype(np.float32)
-    ciwp = np.where(cldfrac > 0, 20.0 + 15.0 * rng.random(
-        (ncol, nlay)), 0.0).astype(np.float32)
-    clwp = np.where(cldfrac > 0, 15.0 + 10.0 * rng.random(
-        (ncol, nlay)), 0.0).astype(np.float32)
-    rei = np.full((ncol, nlay), 25.0, np.float32)
-    rel = np.full((ncol, nlay), 12.0, np.float32)
-    return dict(cldfrac=cldfrac, ciwp=ciwp, clwp=clwp, rei=rei, rel=rel)
+    from rrtmg_lw_tpu.utils.synthetic import make_cloud_profile_fields
+    return make_cloud_profile_fields(ncol, nlay, seed)
 
 
 def tree_bytes(tree):
@@ -269,7 +257,7 @@ def main():
     def step_wire(ea, ec, i):
         key = jax.random.wrap_key_data(keys[i])
         atm = w.decode_atmosphere(ea, taua0)
-        cp = w.decode_cloud_profiles(ec)
+        cp = w.decode_cloud_profiles(ec, like=atm.play)
         clouds = mcica_subcol_lw_compact(
             key, 2, cp["cldfrac"], cp["ciwp"], cp["clwp"],
             cp["rei"], cp["rel"],

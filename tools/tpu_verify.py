@@ -169,23 +169,9 @@ def main():
     from rrtmg_lw_tpu.parallel import wire as w
     from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
 
-    def cp_fields(ncol, nlay, seed=0):
-        rng = np.random.default_rng(seed)
-        cf = np.zeros((ncol, nlay), np.float32)
-        lo = 3 + rng.integers(0, 3, ncol)
-        rows = np.minimum(lo[:, None] + np.arange(4), nlay - 1)
-        cf[np.arange(ncol)[:, None], rows] = (
-            0.3 + 0.5 * rng.random((ncol, 1))).astype(np.float32)
-        return dict(
-            cldfrac=cf,
-            ciwp=np.where(cf > 0, 20.0 + 15.0 * rng.random(
-                (ncol, nlay)), 0.0).astype(np.float32),
-            clwp=np.where(cf > 0, 15.0 + 10.0 * rng.random(
-                (ncol, nlay)), 0.0).astype(np.float32),
-            rei=np.full((ncol, nlay), 25.0, np.float32),
-            rel=np.full((ncol, nlay), 12.0, np.float32))
+    from rrtmg_lw_tpu.utils.synthetic import make_cloud_profile_fields
 
-    cpf = cp_fields(B, 60)
+    cpf = make_cloud_profile_fields(B, 60)
     wkey = jax.random.key(11)
     _, wire_model = models(icld=2, imca=1, inflag=2, iceflag=3,
                            liqflag=1)
@@ -201,7 +187,7 @@ def main():
     @jax.jit
     def step_wire(ea, ec, tauaer, cldfrac_direct):
         a2 = w.decode_atmosphere(ea, tauaer)
-        c2 = w.decode_cloud_profiles(ec)
+        c2 = w.decode_cloud_profiles(ec, like=a2.play)
         full = wire_model(a2, wgen(c2["cldfrac"], c2))
         same_mask = wire_model(a2, wgen(cldfrac_direct, c2))
         flips = (wgen(c2["cldfrac"], c2).cldfmc
@@ -310,7 +296,10 @@ def main():
                elapsed_s=round(time.time() - t0, 1),
                split_tol=SPLIT_TOL, flux_tol=FLUX_TOL,
                all_ok=all(r["ok"] for r in RESULTS), checks=RESULTS)
-    path = args.out or (ROOT / f"TPU_VERIFY_r{args.round:02d}.json")
+    # a CPU smoke must never clobber a committed on-chip artifact
+    default = ("/tmp/TPU_VERIFY_smoke.json" if args.smoke
+               else ROOT / f"TPU_VERIFY_r{args.round:02d}.json")
+    path = args.out or default
     pathlib.Path(path).write_text(json.dumps(out, indent=1))
     print(f"\n{'ALL PASS' if out['all_ok'] else 'FAILURES'} "
           f"-> {path} ({out['elapsed_s']}s)")
