@@ -70,6 +70,9 @@ def shardings_for(tree, mesh: Mesh):
         return WireBatch(
             {k: bs for k in tree.cols},
             jax.tree_util.tree_map(lambda x: rep, tree.refs))
+    from .wire import CompactCloudsWire
+    if isinstance(tree, CompactCloudsWire):
+        return CompactCloudsWire(last, shardings_for(tree.fields, mesh))
     if isinstance(tree, (tuple, list)) and not hasattr(tree, "_fields"):
         return type(tree)(shardings_for(t, mesh) for t in tree)
     if isinstance(tree, dict):

@@ -283,7 +283,56 @@ def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32, *,
     return _decode(CLOUD_FIELDS, wire, lambda name: shape, dtype)
 
 
-def wire_bytes(wire: WireBatch) -> int:
+# ---------------------------------------------------------------------------
+# host-generated McICA sub-columns (the reference GCM contract takes
+# cldfmcl as an INPUT, rrtmg_lw_rad.f90:117): bit-packed mask wire
+# ---------------------------------------------------------------------------
+class CompactCloudsWire(NamedTuple):
+    """McicaCloudsCompact on the wire: the binary sub-column mask
+    bit-packed 8-to-1 (columns stay on the last axis, like the blocked
+    layouts) + the per-layer water/size fields as uint16 codes.
+    ~1.4 KB/col at nlay=60 vs ~9.6 KB for the int8-mask compact form."""
+    mask_bits: object          # (L, NGPT_PAD // 8, B) uint8
+    fields: WireBatch          # ciwp/clwp (logratio), reic/relq (linear)
+
+
+COMPACT_CLOUD_FIELDS = {"ciwp": "logratio", "clwp": "logratio",
+                        "reicmc": "linear", "relqmc": "linear"}
+
+
+def encode_compact_clouds(clouds, schema=None) -> CompactCloudsWire:
+    """McicaCloudsCompact (host arrays) -> CompactCloudsWire.  The
+    mask packs losslessly (bitorder little: g-point 8*b + k is bit k
+    of byte b); water paths/particle sizes go through the standard
+    uint16 codecs."""
+    mask = np.asarray(clouds.cldfmc)
+    bits = np.packbits(mask.astype(bool), axis=1, bitorder="little")
+    d = {k: np.asarray(getattr(clouds, k))
+         for k in COMPACT_CLOUD_FIELDS}
+    return CompactCloudsWire(bits, _encode(COMPACT_CLOUD_FIELDS, d,
+                                           schema))
+
+
+def decode_compact_clouds(wire: CompactCloudsWire, dtype=jnp.float32,
+                          mask_dtype=None):
+    """-> McicaCloudsCompact, unpacking the mask on device (cheap
+    elementwise shifts, fused into the step)."""
+    from ..types import McicaCloudsCompact
+    bits = wire.mask_bits
+    L, nb, B = bits.shape
+    shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, :, None]
+    mask = ((bits[:, :, None, :] >> shifts) & 1).reshape(L, nb * 8, B)
+    mask = mask.astype(jnp.int8 if mask_dtype is None else mask_dtype)
+    like = jnp.zeros((B, L), dtype)
+    d = _decode(COMPACT_CLOUD_FIELDS, wire.fields,
+                lambda name: like.shape, dtype)
+    return McicaCloudsCompact(cldfmc=mask, **d)
+
+
+def wire_bytes(wire) -> int:
+    if isinstance(wire, CompactCloudsWire):
+        return (int(np.asarray(wire.mask_bits).nbytes)
+                + wire_bytes(wire.fields))
     n = sum(int(np.asarray(v).nbytes) for v in wire.cols.values())
     for r in wire.refs.values():
         if r is None:

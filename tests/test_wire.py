@@ -187,6 +187,46 @@ def test_clear_batch_decode_requires_like():
     assert not np.asarray(dec["clwp"]).any()
 
 
+def test_compact_clouds_wire_roundtrip(atm):
+    """Host-generated McICA sub-columns (the reference GCM contract,
+    rrtmg_lw_rad.f90:117) on the wire: the bit-packed mask must
+    round-trip EXACTLY; water paths within codec quantization; the
+    decoded clouds must reproduce the direct-compact fluxes within
+    the input-noise budget (masks identical by construction)."""
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+
+    clouds = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                               layout="compact")
+    enc = w.encode_compact_clouds(clouds)
+    dec = w.decode_compact_clouds(enc)
+    m0 = np.asarray(clouds.cldfmc) != 0
+    assert np.array_equal(np.asarray(dec.cldfmc)[:, :m0.shape[1]] != 0,
+                          m0)
+    for name in ("ciwp", "clwp"):
+        a = np.asarray(getattr(clouds, name))
+        b = np.asarray(getattr(dec, name))
+        nz = a > 0
+        assert np.array_equal(b == 0, a == 0), name
+        if nz.any():
+            assert np.abs(b[nz] / a[nz] - 1).max() < 2e-4, name
+    # flux parity: identical masks, quantized waters/sizes only
+    model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
+                                use_lut=False))
+    ref = jax.jit(lambda a, c: model(a, c))(atm, clouds)
+    got = jax.jit(lambda a, e: model(a, w.decode_compact_clouds(
+        e, mask_dtype=clouds.cldfmc.dtype)))(atm, enc)
+    for name in ("uflx", "dflx"):
+        d = np.abs(np.asarray(getattr(got, name))
+                   - np.asarray(getattr(ref, name))).max()
+        assert d < 1e-2, (name, d)
+    # and it really is small on the wire
+    int8_bytes = (np.asarray(clouds.cldfmc).size  # int8 mask form
+                  + 4 * sum(np.asarray(getattr(clouds, n)).size
+                            for n in ("ciwp", "clwp", "reicmc",
+                                      "relqmc")))
+    assert w.wire_bytes(enc) * 4 < int8_bytes
+
+
 def test_native_encoder_matches_numpy(atm):
     """The C++ wirecodec (native/wirecodec.cc) must produce
     bit-identical codes/refs/ranges to the numpy reference encoders

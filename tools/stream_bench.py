@@ -8,17 +8,24 @@ efficiency.  This replaces the reference's serial per-column loop
 (rrtmg_lw_rad.f90:486) + host-side sub-column generator
 (mcica_subcol_gen_lw.f90:133) at production scale.
 
-Two pipeline designs are measured:
+Four pipeline designs are measured:
 
   host-mask:  the McICA sub-column mask is generated on the HOST and
-              shipped at g-resolution (int8 compact layout) — the
+              shipped at g-resolution (compact layout) — the
               reference's dataflow (mcica_subcol_gen_lw runs before
-              rrtmg_lw), ~18 KB/column over the interconnect.
+              rrtmg_lw), ~14-18 KB/column over the interconnect.
+  host-mask-wire: same dataflow, compressed: bit-packed mask (8 g
+              per byte) + uint16 profile codes (parallel/wire) —
+              ~3 KB/column; for GCM hosts that generate their own
+              sub-columns (the reference contract takes cldfmcl as
+              input, rrtmg_lw_rad.f90:117).
   device-gen: the host ships only (B, L) cloud profiles and the
               stochastic mask is generated ON DEVICE inside the same
               jit step (ops/mcica threefry path) — the TPU-native
               dataflow, ~5 KB/column.  Constant-zero aerosol od stays
               device-resident instead of re-shipping per step.
+  device-gen-wire: device-gen with uint16 wire codes everywhere —
+              ~1.1 KB/column; the production default.
 
 Overlap efficiency = (t_put_total + t_comp_total - t_wall)
                      / min(t_put_total, t_comp_total), clipped to
@@ -205,7 +212,7 @@ def main():
 
     # ---- host-mask design (reference dataflow) ----------------------
     mask_dt = np.int8 if platform == "tpu" else None
-    layout = "compact" if platform == "tpu" else "batch"
+    layout = "compact"     # every backend: the pipeline-native layout
     host_batches = [
         (make_atmosphere(ncol=B, nlay=L, dtype=jnp.float32, seed=i),
          make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
@@ -242,6 +249,29 @@ def main():
     run_phase("device_gen", gen_batches,
               lambda b, i: step_gen(b[0], b[1], i % len(keys)),
               args.steps, B)
+
+    # ---- host_mask_wire design: host-generated sub-columns (the
+    # reference GCM contract, rrtmg_lw_rad.f90:117) with the
+    # bit-packed mask wire — for hosts that produce their own McICA
+    # masks and cannot use the device-side generator
+    from rrtmg_lw_tpu.parallel import wire as w
+
+    hostmask_wire = [
+        (w.encode_atmosphere(host_batches[i][0], schema="coded"),
+         w.encode_compact_clouds(host_batches[i][1]))
+        for i in range(K)]
+    taua0 = jax.device_put(np.zeros((B, L, 16), np.float32))
+
+    @jax.jit
+    def step_hmw(ea, ec, i):
+        atm = w.decode_atmosphere(ea, taua0)
+        clouds = w.decode_compact_clouds(
+            ec, mask_dtype=jnp.int8 if mask_dt else jnp.float32)
+        return model(atm, clouds)
+
+    run_phase("host_mask_wire", hostmask_wire,
+              lambda b, i: step_hmw(b[0], b[1], i),
+              args.host_mask_steps, B)
 
     # ---- device_gen_wire design (compressed wire format) -------------
     # same dataflow as device_gen, but the host ships uint16
