@@ -61,31 +61,11 @@ T_ISO = 288.6
 
 
 # ---------------------------------------------------------------------------
-# Independent Planck anchor: no framework constants or tables
+# Independent Planck anchor: no framework tables, no oracle
+# (utils/blackbody.py — direct quadrature from CODATA constants)
 # ---------------------------------------------------------------------------
-def planck_band_flux(T, nu1, nu2, npts=20001):
-    """pi * integral of B_nu(T) over [nu1, nu2] cm^-1, in W/m^2.
-
-    CODATA h, c, k only; trapezoid quadrature on a fine grid.  This is
-    the hemispheric blackbody flux an isothermal enclosure emits in
-    that band.
-    """
-    h = 6.62607015e-34          # J s
-    c = 2.99792458e8            # m / s
-    kB = 1.380649e-23           # J / K
-    nu = np.linspace(nu1 * 100.0, nu2 * 100.0, npts)   # m^-1
-    B_nu = 2.0 * h * c ** 2 * nu ** 3 / np.expm1(h * c * nu / (kB * T))
-    return np.pi * np.trapezoid(B_nu, nu)
-
-
-def band_anchor(static, T):
-    return sum(planck_band_flux(T, a, b)
-               for a, b in zip(np.asarray(static["wavenum1"]),
-                               np.asarray(static["wavenum2"])))
-
-
-def sigma_T4(T):
-    return 5.670374419e-8 * T ** 4
+from rrtmg_lw_tpu.utils.blackbody import (band_anchor,  # noqa: E402
+                                          planck_band_flux, sigma_T4)
 
 
 # ---------------------------------------------------------------------------

@@ -162,6 +162,29 @@ def main():
     check_model("model_maxrand_icld2",
                 dict(icld=2, imca=0, inflag=2, iceflag=3, liqflag=1), bc)
 
+    # ---- physics invariant ON SILICON (round 4): the COMPILED Pallas
+    # pipeline must satisfy the isothermal-enclosure fixed point
+    # against the first-principles blackbody quadrature — an anchor
+    # independent of the XLA engines, the oracle AND the k-tables
+    # (tests/test_invariants.py is the CPU/interpret twin)
+    from rrtmg_lw_tpu.utils.blackbody import band_anchor
+    T_ISO = 288.6
+    _, pls_iso = models(icld=0)
+    atm_iso = make_atmosphere(ncol=B, nlay=60, dtype=jnp.float32)
+    atm_iso = atm_iso._replace(
+        tlay=jnp.full_like(jnp.asarray(atm_iso.tlay), T_ISO),
+        tlev=jnp.full_like(jnp.asarray(atm_iso.tlev), T_ISO),
+        tsfc=jnp.full_like(jnp.asarray(atm_iso.tsfc), T_ISO),
+        emis=jnp.ones_like(jnp.asarray(atm_iso.emis)))
+    fl_iso = jax.jit(lambda a: pls_iso(a, None))(atm_iso)
+    anchor = band_anchor(pls_iso.static_np, T_ISO)
+    u_iso = np.asarray(fl_iso.uflx, np.float64)
+    record("invariant_isothermal_sfc_vs_blackbody",
+           abs(u_iso[:, 0] / anchor - 1).max(), 3e-4,
+           dict(anchor_wm2=round(anchor, 4)))
+    record("invariant_isothermal_level_envelope",
+           abs(u_iso / anchor - 1).max(), 5e-4)
+
     # ---- compressed wire format (round 4): decoded-on-device inputs
     # must reproduce the direct-input fluxes within the 1e-2 W/m^2
     # quantization budget (absolute; tests/test_wire.py is the CPU
