@@ -329,6 +329,59 @@ def decode_compact_clouds(wire: CompactCloudsWire, dtype=jnp.float32,
     return McicaCloudsCompact(cldfmc=mask, **d)
 
 
+# ---------------------------------------------------------------------------
+# on-disk shard format: encoded batches persist as single .npz files
+# (the TPU-native replacement for the reference's per-column text
+# decks as a bulk input format — rrtmg_lw.1col.f90:447; a stored
+# shard is byte-for-byte what crosses the wire)
+# ---------------------------------------------------------------------------
+def save_wire(path, wire) -> None:
+    """Persist a WireBatch or CompactCloudsWire to ``path`` (.npz)."""
+    flat = {}
+    if isinstance(wire, CompactCloudsWire):
+        flat["__kind__"] = np.array("compact_clouds")
+        flat["mask_bits"] = np.asarray(wire.mask_bits)
+        wb = wire.fields
+    else:
+        flat["__kind__"] = np.array("batch")
+        wb = wire
+    for k, v in wb.cols.items():
+        flat[f"c:{k}"] = np.asarray(v)
+    for k, r in wb.refs.items():
+        if r is None:
+            flat[f"z:{k}"] = np.array(0, np.uint8)
+        elif isinstance(r, dict):
+            flat[f"u:{k}"] = np.asarray(r["uniform"])
+        else:
+            ref, lo, hi = r
+            flat[f"r:{k}"] = np.asarray(ref)
+            flat[f"s:{k}"] = np.array([lo, hi], np.float32)
+    np.savez(path, **flat)
+
+
+def load_wire(path):
+    """Load a shard saved by ``save_wire`` (WireBatch or
+    CompactCloudsWire, host numpy — ready for prefetch/device_put)."""
+    with np.load(path, allow_pickle=False) as z:
+        kind = str(z["__kind__"])
+        cols, refs = {}, {}
+        for k in z.files:
+            tag, _, name = k.partition(":")
+            if tag == "c":
+                cols[name] = z[k]
+            elif tag == "z":
+                refs[name] = None
+            elif tag == "u":
+                refs[name] = {"uniform": z[k]}
+            elif tag == "r":
+                s = z[f"s:{name}"]
+                refs[name] = (z[k], np.float32(s[0]), np.float32(s[1]))
+        wb = WireBatch(cols, refs)
+        if kind == "compact_clouds":
+            return CompactCloudsWire(z["mask_bits"], wb)
+    return wb
+
+
 def wire_bytes(wire) -> int:
     if isinstance(wire, CompactCloudsWire):
         return (int(np.asarray(wire.mask_bits).nbytes)

@@ -227,6 +227,43 @@ def test_compact_clouds_wire_roundtrip(atm):
     assert w.wire_bytes(enc) * 4 < int8_bytes
 
 
+def test_wire_shard_save_load_roundtrip(atm, tmp_path):
+    """On-disk shards (save_wire/load_wire) reproduce the encoded
+    batches bit-for-bit — a stored shard IS the wire bytes."""
+    from rrtmg_lw_tpu.utils.synthetic import make_mcica_clouds
+
+    def assert_same(a, b):
+        assert type(a) is type(b)
+        if isinstance(a, w.CompactCloudsWire):
+            assert np.array_equal(a.mask_bits, b.mask_bits)
+            a, b = a.fields, b.fields
+        assert set(a.cols) == set(b.cols)
+        for k in a.cols:
+            assert np.array_equal(a.cols[k], b.cols[k]), k
+        assert set(a.refs) == set(b.refs)
+        for k in a.refs:
+            ra, rb = a.refs[k], b.refs[k]
+            if ra is None:
+                assert rb is None, k
+            elif isinstance(ra, dict):
+                assert np.array_equal(ra["uniform"], rb["uniform"]), k
+            else:
+                for x, y in zip(ra, rb):
+                    assert np.array_equal(np.asarray(x),
+                                          np.asarray(y)), k
+
+    zeroed = atm._replace(covmr=jnp.zeros_like(jnp.asarray(atm.covmr)))
+    enc_a = w.encode_atmosphere(zeroed)      # has zero+uniform+coded
+    w.save_wire(tmp_path / "a.npz", enc_a)
+    assert_same(enc_a, w.load_wire(tmp_path / "a.npz"))
+
+    clouds = make_mcica_clouds(ncol=B, nlay=L, dtype=jnp.float32,
+                               layout="compact")
+    enc_c = w.encode_compact_clouds(clouds)
+    w.save_wire(tmp_path / "c.npz", enc_c)
+    assert_same(enc_c, w.load_wire(tmp_path / "c.npz"))
+
+
 def test_native_encoder_matches_numpy(atm):
     """The C++ wirecodec (native/wirecodec.cc) must produce
     bit-identical codes/refs/ranges to the numpy reference encoders
