@@ -34,6 +34,12 @@ Closed-form limits of longwave radiative transfer:
 * Heating = net-flux divergence * heatfac with
   heatfac = grav*secdy/(cpdair*1e2) (rrtmg_lw_init.f90:298)
   recomputed here from first principles.
+* Exact Schwarzschild solution: for a per-band Planck source LINEAR
+  in cumulative diffuse optical depth, dI/dtau = B - I has a closed
+  form, and the reference's per-layer linear-in-tau source is its
+  exact integral — the recursion must match to f64 roundoff (measured
+  4e-16 for od >= 0.06), quantitatively pinning atrans and the tfn
+  source factor at every od, not just the limits.
 
 The RT cores (rtrn / rtrnmr / rtrnmc paths and the Pallas sweep
 kernel in interpret mode) are driven directly with crafted inputs for
@@ -288,6 +294,112 @@ def test_heating_is_flux_divergence(icld, imca, use_lut):
                                                         - pz[:, 1:])
     got = np.asarray(fl.hr)
     assert np.abs(got - htr_ind).max() < 1e-10 * np.abs(got).max() + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# exact Schwarzschild solution for linear-in-tau sources
+# ---------------------------------------------------------------------------
+def _schwarzschild_setup(model, dtau, dtype, nlay=48):
+    """A crafted RT problem whose ANALYTIC solution is closed-form:
+    per-band Planck source linear in cumulative diffuse optical depth
+    (B(tau) = B0 + beta*tau), constant per-layer od, black surface at
+    the level-0 Planck value.  dI/dtau = B - I integrates exactly:
+      down:  I(tau) = B(tau) - beta - (B(0) - beta) e^-tau
+      up:    I(s)   = B_sfc - beta*s + beta - beta e^-s
+    The reference's linear-in-tau source (rrtmg_lw_rtrnmc.f90:361-425,
+    tfn of rrtmg_lw_init.f90:134-141) is the per-layer exact integral
+    of the same ODE, so the recursion must reproduce the closed form
+    to roundoff — a QUANTITATIVE anchor for atrans and the tfn source
+    factor at every od, not just the limits."""
+    from rrtmg_lw_tpu.constants import FLUXFAC, WTDIFF
+    from rrtmg_lw_tpu.ops.rtrn import secdiff
+
+    static = model.static_np
+    ngb = np.asarray(static["ngb"]) - 1
+    counts = np.bincount(ngb, minlength=16)
+    Bc, Lc = 2, nlay
+    pwvcm = jnp.full((Bc,), 2.0, dtype)
+    sec = np.asarray(secdiff(pwvcm, dtype))
+    taut = jnp.asarray(np.broadcast_to(
+        dtau / sec[:, ngb][:, None, :], (Bc, Lc, 140)).copy(), dtype)
+    fracs = jnp.broadcast_to(
+        jnp.asarray(1.0 / counts[ngb], dtype), (Bc, Lc, 140))
+    tau_lev = np.arange(Lc + 1) * dtau
+    beta, B0 = 3.0, 40.0
+    Blev = B0 + beta * tau_lev[::-1]
+    Blay = 0.5 * (Blev[:-1] + Blev[1:])
+    args = dict(
+        taut=taut, fracs=fracs, pwvcm=pwvcm,
+        planklev=jnp.asarray(np.broadcast_to(
+            Blev[None, :, None], (Bc, Lc + 1, 16)).copy(), dtype),
+        planklay=jnp.asarray(np.broadcast_to(
+            Blay[None, :, None], (Bc, Lc, 16)).copy(), dtype),
+        plankbnd=jnp.asarray(np.broadcast_to(
+            Blev[0], (Bc, 16)).copy(), dtype),
+        semiss=jnp.ones((Bc, 16), dtype),
+        pz=jnp.asarray(np.broadcast_to(
+            np.linspace(1000, 10, Lc + 1)[None], (Bc, Lc + 1)).copy(),
+            dtype))
+    taud = tau_lev[::-1]
+    I_dn = (B0 + beta * taud) - beta - (B0 - beta) * np.exp(-taud)
+    I_up = (Blev[0] - beta * tau_lev) + beta - beta * np.exp(-tau_lev)
+    scale = (WTDIFF * np.asarray(static["delwave"]) * FLUXFAC).sum()
+    return args, I_up, I_dn, scale
+
+
+# measured deviations (f64): the closed-form exp path is EXACT
+# (4e-16) for od >= 0.06; od < 0.06 runs the reference's own Taylor
+# branch (tf = tau/6, rrlw REC_6) at ~4e-5; LUT mode adds the
+# 10^4-entry table quantization at ~3e-4
+SCHWARZ_CASES = [
+    (0.02, False, 1e-4),    # Taylor regime (reference approximation)
+    (0.11, False, 1e-14),   # exact
+    (2.50, False, 1e-14),   # exact, optically thick
+    (0.11, True, 1e-3),     # LUT quantization envelope
+]
+
+
+@pytest.mark.parametrize("dtau,use_lut,tol", SCHWARZ_CASES)
+def test_schwarzschild_linear_in_tau(dtau, use_lut, tol):
+    model = make_model(LWConfig(icld=0, dtype="float64",
+                                use_lut=use_lut))
+    a, I_up, I_dn, scale = _schwarzschild_setup(model, dtau,
+                                                jnp.float64)
+    zero = jnp.zeros_like(a["taut"])
+    out = rt.rt_random_overlap(
+        a["taut"], a["fracs"], a["planklay"], a["planklev"],
+        a["plankbnd"], jnp.zeros_like(a["plankbnd"]), a["semiss"],
+        a["pwvcm"], a["pz"], zero, zero,
+        cloudy_lay=jnp.zeros(a["taut"].shape[:2], bool),
+        cld_gate=jnp.zeros(a["taut"].shape, bool),
+        static=model.static_np, luts=model.luts, use_lut=use_lut,
+        idrv=0, heatfac_val=model.heatfac, istart=1, iend=16)
+    u = np.asarray(out.totuflux)[0] / scale
+    d = np.asarray(out.totdflux)[0] / scale
+    assert np.abs(u - I_up).max() / np.abs(I_up).max() < tol
+    assert np.abs(d - I_dn).max() / np.abs(I_dn).max() < tol
+
+
+def test_schwarzschild_linear_in_tau_pallas():
+    """The same closed-form anchor through the Pallas sweep kernel
+    (interpret, f32): bounded by f32 recursion roundoff."""
+    from rrtmg_lw_tpu.ops import rtrn_pallas as rtp
+
+    model = make_model(LWConfig(icld=0, dtype="float32",
+                                use_lut=False))
+    a, I_up, I_dn, scale = _schwarzschild_setup(model, 0.11,
+                                                jnp.float32)
+    zero = jnp.zeros_like(a["taut"])
+    out = rtp.rt_random_overlap_pallas(
+        a["taut"], a["fracs"], a["planklay"], a["planklev"],
+        a["plankbnd"], jnp.zeros_like(a["plankbnd"]), a["semiss"],
+        a["pwvcm"], a["pz"], zero, zero, cloudy=False,
+        gate_thresh=2.0, static=model.static_np, idrv=0,
+        heatfac_val=model.heatfac, interpret=True)
+    u = np.asarray(out.totuflux)[0] / scale
+    d = np.asarray(out.totdflux)[0] / scale
+    assert np.abs(u - I_up).max() / np.abs(I_up).max() < 1e-5
+    assert np.abs(d - I_dn).max() / np.abs(I_dn).max() < 1e-5
 
 
 # ---------------------------------------------------------------------------
