@@ -71,7 +71,7 @@ T_ISO = 288.6
 # (utils/blackbody.py — direct quadrature from CODATA constants)
 # ---------------------------------------------------------------------------
 from rrtmg_lw_tpu.utils.blackbody import (band_anchor,  # noqa: E402
-                                          planck_band_flux, sigma_T4)
+                                          sigma_T4)
 
 
 # ---------------------------------------------------------------------------
