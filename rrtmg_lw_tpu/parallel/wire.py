@@ -66,8 +66,26 @@ def _native():
     return native if native.wire_available() else None
 
 
-def _enc_logratio(x):
-    """(codes uint16, refs (ref_level, lo, hi)).  Code 0 == exact 0."""
+def _enc_logratio(x, frozen=None):
+    """(codes uint16, refs (ref_level, lo, hi)).  Code 0 == exact 0.
+
+    ``frozen``: a refs tuple from a previous batch (or climatology) —
+    codes are then computed against those FIXED references/ranges
+    (values outside the range saturate at the range edges), making
+    codes deterministic across batches and hosts (the multi-host
+    contract: every host must quantize against the same refs)."""
+    if frozen is not None:
+        ref32, lo, hi = frozen
+        ref = np.asarray(ref32, np.float64)
+        x = np.asarray(x, np.float64)
+        pos = x > 0.0
+        lo, hi = float(lo), float(hi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(pos, np.log(x / ref), 0.0)
+        u = np.clip(np.rint((r - lo) / (hi - lo) * (_U16 - 1.0)),
+                    0, _U16 - 1.0).astype(np.int64) + 1
+        u = np.where(pos, u, 0)
+        return u.astype(np.uint16), frozen
     nat = _native()
     if nat is not None and np.ndim(x) >= 1:
         u, ref, lo, hi, _npos = nat.wire_enc_logratio(
@@ -90,7 +108,14 @@ def _enc_logratio(x):
                                  np.float32(lo), np.float32(hi))
 
 
-def _enc_delta(x):
+def _enc_delta(x, frozen=None):
+    if frozen is not None:
+        ref32, lo, hi = frozen
+        d = np.asarray(x, np.float64) - np.asarray(ref32, np.float64)
+        lo, hi = float(lo), float(hi)
+        u = np.clip(np.rint((d - lo) / (hi - lo) * _U16),
+                    0, _U16).astype(np.uint16)
+        return u, frozen
     nat = _native()
     if nat is not None and np.ndim(x) >= 1:
         u, ref, lo, hi, _ = nat.wire_enc_delta(np.asarray(x, np.float64))
@@ -105,13 +130,18 @@ def _enc_delta(x):
     return u, (ref.astype(np.float32), np.float32(lo), np.float32(hi))
 
 
-def _enc_unit(x):
+def _enc_unit(x, frozen=None):
     u = np.rint(np.clip(np.asarray(x, np.float64), 0.0, 1.0) * _U16)
     return u.astype(np.uint16), ()
 
 
-def _enc_linear(x):
+def _enc_linear(x, frozen=None):
     x = np.asarray(x, np.float64)
+    if frozen is not None:
+        lo, hi = float(frozen[0]), float(frozen[1])
+        u = np.clip(np.rint((x - lo) / (hi - lo) * _U16),
+                    0, _U16).astype(np.uint16)
+        return u, frozen
     lo, hi = float(x.min()), float(x.max())
     hi = max(hi, lo + 1e-12)
     u = np.rint((x - lo) / (hi - lo) * _U16).astype(np.uint16)
@@ -165,14 +195,26 @@ CLOUD_FIELDS = {
 }
 
 
-def _encode(fields, tree_dict, schema=None):
+def _encode(fields, tree_dict, schema=None, frozen=None):
     """schema: None (auto-detect zero/uniform/coded per channel — the
     smallest wire, but the WireBatch PYTREE STRUCTURE then depends on
     the data, and a channel changing category between batches retraces
     the consuming jit), or "coded" (every present channel fully
     encoded — stable structure for streams), or a {name: mode} dict
     captured from a representative batch via ``schema_of`` (raises on
-    violation instead of silently changing structure)."""
+    violation instead of silently changing structure).
+
+    frozen: a previous WireBatch.refs — coded channels are then
+    quantized against those FIXED references/ranges (out-of-range
+    values saturate), so codes are deterministic across batches AND
+    across hosts (every host of a multi-host mesh must pass the same
+    refs; per-batch medians would differ per host).  Implies the
+    frozen batch's schema unless one is given."""
+    if frozen is not None and schema is None:
+        schema = {name: ("zero" if r is None
+                         else "uniform" if isinstance(r, dict)
+                         else "coded")
+                  for name, r in frozen.items()}
     if schema == "coded":
         schema = {name: "coded" for name in fields}
     cols, refs = {}, {}
@@ -204,7 +246,10 @@ def _encode(fields, tree_dict, schema=None):
             refs[name] = {"uniform": x[0].astype(np.float32)}
         else:
             enc, _ = _CODECS[kind]
-            cols[name], refs[name] = enc(x)
+            fz = (frozen or {}).get(name)
+            if isinstance(fz, dict) or fz is None:
+                fz = None
+            cols[name], refs[name] = enc(x, frozen=fz)
     return WireBatch(cols, refs)
 
 
@@ -234,15 +279,16 @@ def _decode(fields, wire, shape_of, dtype):
     return out
 
 
-def encode_atmosphere(atm, schema=None) -> WireBatch:
+def encode_atmosphere(atm, schema=None, refs=None) -> WireBatch:
     """Atmosphere (or its field dict; host numpy/jax arrays, f32/f64)
     -> WireBatch.  ``tauaer`` is intentionally NOT shipped (the device
     keeps a resident aerosol state; pass it to decode_atmosphere).
-    ``schema``: see _encode — pin it across a stream to keep the jit
-    signature stable."""
+    ``schema``/``refs``: see _encode — pin them across a stream (and
+    across hosts) for a stable jit signature and deterministic
+    codes."""
     d = atm if isinstance(atm, dict) else atm._asdict()
     d = {k: v for k, v in d.items() if k != "tauaer"}
-    return _encode(ATM_FIELDS, d, schema)
+    return _encode(ATM_FIELDS, d, schema, refs)
 
 
 def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
@@ -259,10 +305,11 @@ def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
     return Atmosphere(tauaer=tauaer, **d)
 
 
-def encode_cloud_profiles(cp: dict, schema=None) -> WireBatch:
+def encode_cloud_profiles(cp: dict, schema=None, refs=None
+                          ) -> WireBatch:
     """(B, L) cloud profile fields {cldfrac, ciwp, clwp, rei, rel}
     (the device-side McICA generator's inputs) -> WireBatch."""
-    return _encode(CLOUD_FIELDS, cp, schema)
+    return _encode(CLOUD_FIELDS, cp, schema, refs)
 
 
 def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32, *,

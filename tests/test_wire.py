@@ -227,6 +227,43 @@ def test_compact_clouds_wire_roundtrip(atm):
     assert w.wire_bytes(enc) * 4 < int8_bytes
 
 
+def test_frozen_refs_multihost_contract(atm):
+    """With frozen references (a previous batch's refs, or
+    climatology) the codes are a pure function of the data: encoding
+    two host shards separately against the same refs is bitwise
+    identical to encoding their concatenation — the multi-host wire
+    contract (per-batch medians would differ per host).  Out-of-range
+    values saturate instead of re-ranging."""
+    a_np = {k: np.asarray(v) for k, v in atm._asdict().items()
+            if k != "tauaer"}
+    base = w.encode_atmosphere(a_np, schema="coded")
+    half = {k: v[:B // 2] for k, v in a_np.items()}
+    other = {k: v[B // 2:] for k, v in a_np.items()}
+    e1 = w.encode_atmosphere(half, refs=base.refs)
+    e2 = w.encode_atmosphere(other, refs=base.refs)
+    efull = w.encode_atmosphere(a_np, refs=base.refs)
+    for k in efull.cols:
+        got = np.concatenate([np.asarray(e1.cols[k]),
+                              np.asarray(e2.cols[k])], axis=0)
+        assert np.array_equal(got, np.asarray(efull.cols[k])), k
+        # refs pass through unchanged
+        for x, y in zip(e1.refs[k], base.refs[k]):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), k
+    # decode accuracy is preserved under frozen refs
+    dec = w.decode_atmosphere(efull, tauaer=jnp.asarray(atm.tauaer))
+    t_err = np.abs(np.asarray(dec.tlay) - a_np["tlay"]).max()
+    assert t_err < 5e-3                           # K
+    # saturation: a value far outside the frozen range clamps to the
+    # range edge rather than corrupting the shared scale
+    hot = dict(a_np)
+    hot["tlay"] = a_np["tlay"] + 500.0
+    e_hot = w.encode_atmosphere(hot, refs=base.refs)
+    d_hot = w.decode_atmosphere(e_hot, tauaer=jnp.asarray(atm.tauaer))
+    ref_row, lo, hi = base.refs["tlay"]
+    assert np.asarray(d_hot.tlay).max() <= (
+        np.asarray(ref_row).max() + float(hi) + 1e-3)
+
+
 def test_wire_shard_save_load_roundtrip(atm, tmp_path):
     """On-disk shards (save_wire/load_wire) reproduce the encoded
     batches bit-for-bit — a stored shard IS the wire bytes."""
