@@ -66,6 +66,24 @@ def _native():
     return native if native.wire_available() else None
 
 
+def _check_frozen_width(lo, hi, values):
+    """A zero-width frozen range is only usable when the data sits ON
+    it (a genuinely constant channel; everything decodes to the
+    constant).  Data varying beyond the range would silently saturate
+    to a single value — raise instead (the refs were captured from a
+    constant batch; re-capture from a representative varying one)."""
+    width = hi - lo
+    if width > 0.0:
+        return
+    v = np.asarray(values, np.float64)
+    if v.size and (np.abs(v - lo).max() > 1e-9 + 1e-6 * abs(lo)):
+        raise ValueError(
+            "frozen wire refs have zero range but this batch varies "
+            "across it — the refs were captured from a constant "
+            "batch; capture them from a representative varying batch "
+            "(or leave the channel uniform)")
+
+
 def _enc_logratio(x, frozen=None):
     """(codes uint16, refs (ref_level, lo, hi)).  Code 0 == exact 0.
 
@@ -80,9 +98,12 @@ def _enc_logratio(x, frozen=None):
         x = np.asarray(x, np.float64)
         pos = x > 0.0
         lo, hi = float(lo), float(hi)
+        _check_frozen_width(lo, hi, np.where(pos, np.log(
+            np.where(pos, x, 1.0) / ref), lo))
         with np.errstate(divide="ignore", invalid="ignore"):
             r = np.where(pos, np.log(x / ref), 0.0)
-        u = np.clip(np.rint((r - lo) / (hi - lo) * (_U16 - 1.0)),
+        u = np.clip(np.rint((r - lo) / max(hi - lo, 1e-300)
+                            * (_U16 - 1.0)),
                     0, _U16 - 1.0).astype(np.int64) + 1
         u = np.where(pos, u, 0)
         return u.astype(np.uint16), frozen
@@ -113,7 +134,8 @@ def _enc_delta(x, frozen=None):
         ref32, lo, hi = frozen
         d = np.asarray(x, np.float64) - np.asarray(ref32, np.float64)
         lo, hi = float(lo), float(hi)
-        u = np.clip(np.rint((d - lo) / (hi - lo) * _U16),
+        _check_frozen_width(lo, hi, d)
+        u = np.clip(np.rint((d - lo) / max(hi - lo, 1e-300) * _U16),
                     0, _U16).astype(np.uint16)
         return u, frozen
     nat = _native()
@@ -139,7 +161,8 @@ def _enc_linear(x, frozen=None):
     x = np.asarray(x, np.float64)
     if frozen is not None:
         lo, hi = float(frozen[0]), float(frozen[1])
-        u = np.clip(np.rint((x - lo) / (hi - lo) * _U16),
+        _check_frozen_width(lo, hi, x)
+        u = np.clip(np.rint((x - lo) / max(hi - lo, 1e-300) * _U16),
                     0, _U16).astype(np.uint16)
         return u, frozen
     lo, hi = float(x.min()), float(x.max())
@@ -218,16 +241,22 @@ def _encode(fields, tree_dict, schema=None, frozen=None):
     if schema == "coded":
         schema = {name: "coded" for name in fields}
     cols, refs = {}, {}
+    _MISSING = object()
     for name, kind in fields.items():
         if name not in tree_dict:
             continue
         x = np.asarray(tree_dict[name])
-        is_zero = not x.any()
-        is_unif = x.ndim > 1 and bool((x == x[:1]).all())
-        mode = (schema or {}).get(name) or (
-            "zero" if is_zero else "uniform" if is_unif else "coded")
+        mode = (schema or {}).get(name)
+        if mode is None:
+            # auto-detect (two full-array scans — skipped when the
+            # schema pins the mode, keeping the hot coded path at one
+            # pass on the prefetch thread)
+            mode = ("zero" if not x.any()
+                    else "uniform" if (x.ndim > 1
+                                       and bool((x == x[:1]).all()))
+                    else "coded")
         if mode == "zero":
-            if not is_zero:
+            if x.any():
                 raise ValueError(
                     f"wire schema violation: channel {name!r} is "
                     "declared all-zero but this batch has data "
@@ -235,7 +264,7 @@ def _encode(fields, tree_dict, schema=None, frozen=None):
                     "recompile for the new structure)")
             refs[name] = None          # all-zero channel: flag only
         elif mode == "uniform":
-            if not is_unif:
+            if not (x.ndim > 1 and bool((x == x[:1]).all())):
                 raise ValueError(
                     f"wire schema violation: channel {name!r} is "
                     "declared column-uniform but this batch varies "
@@ -246,9 +275,19 @@ def _encode(fields, tree_dict, schema=None, frozen=None):
             refs[name] = {"uniform": x[0].astype(np.float32)}
         else:
             enc, _ = _CODECS[kind]
-            fz = (frozen or {}).get(name)
-            if isinstance(fz, dict) or fz is None:
-                fz = None
+            fz = None
+            if frozen is not None and kind != "unit":
+                fz = frozen.get(name, _MISSING)
+                if fz is _MISSING or fz is None or isinstance(fz, dict):
+                    # silently re-ranging per batch/host would defeat
+                    # the determinism contract refs= exists for
+                    raise ValueError(
+                        f"refs= has no coded reference for channel "
+                        f"{name!r} (it was "
+                        f"{'absent' if fz is _MISSING else 'zero/uniform'} "
+                        "in the captured batch) — capture refs with "
+                        "schema='coded' from a representative varying "
+                        "batch")
             cols[name], refs[name] = enc(x, frozen=fz)
     return WireBatch(cols, refs)
 
@@ -399,7 +438,11 @@ def save_wire(path, wire) -> None:
             flat[f"z:{k}"] = np.array(0, np.uint8)
         elif isinstance(r, dict):
             flat[f"u:{k}"] = np.asarray(r["uniform"])
-        else:
+        elif len(r) == 0:              # unit codec: fixed range
+            flat[f"e:{k}"] = np.array(0, np.uint8)
+        elif len(r) == 2:              # linear codec: (lo, hi)
+            flat[f"s:{k}"] = np.array(r, np.float32)
+        else:                          # logratio/delta: (ref, lo, hi)
             ref, lo, hi = r
             flat[f"r:{k}"] = np.asarray(ref)
             flat[f"s:{k}"] = np.array([lo, hi], np.float32)
@@ -412,6 +455,8 @@ def load_wire(path):
     with np.load(path, allow_pickle=False) as z:
         kind = str(z["__kind__"])
         cols, refs = {}, {}
+        has_r = {k.partition(":")[2] for k in z.files
+                 if k.startswith("r:")}
         for k in z.files:
             tag, _, name = k.partition(":")
             if tag == "c":
@@ -420,9 +465,13 @@ def load_wire(path):
                 refs[name] = None
             elif tag == "u":
                 refs[name] = {"uniform": z[k]}
+            elif tag == "e":
+                refs[name] = ()
             elif tag == "r":
                 s = z[f"s:{name}"]
                 refs[name] = (z[k], np.float32(s[0]), np.float32(s[1]))
+            elif tag == "s" and name not in has_r:
+                refs[name] = (np.float32(z[k][0]), np.float32(z[k][1]))
         wb = WireBatch(cols, refs)
         if kind == "compact_clouds":
             return CompactCloudsWire(z["mask_bits"], wb)

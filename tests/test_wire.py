@@ -264,6 +264,30 @@ def test_frozen_refs_multihost_contract(atm):
         np.asarray(ref_row).max() + float(hi) + 1e-3)
 
 
+def test_frozen_refs_guardrails(atm):
+    """The determinism contract fails LOUDLY, never silently: refs
+    captured from a batch where a channel was uniform cannot back a
+    coded encode; zero-width frozen ranges reject varying data."""
+    a_np = {k: np.asarray(v) for k, v in atm._asdict().items()
+            if k != "tauaer"}
+    auto = w.encode_atmosphere(a_np)              # gases uniform
+    assert isinstance(auto.refs["co2vmr"], dict)
+    with pytest.raises(ValueError, match="no coded reference"):
+        w.encode_atmosphere(a_np, schema="coded", refs=auto.refs)
+    # zero-width frozen range + varying batch -> loud error
+    cp = cloud_profiles(B, L)
+    base = w.encode_cloud_profiles(cp, schema="coded")  # rei constant
+    cp2 = dict(cp)
+    cp2["rei"] = cp["rei"] + np.linspace(0, 5, B)[:, None].astype(
+        np.float32)
+    with pytest.raises(ValueError, match="zero range"):
+        w.encode_cloud_profiles(cp2, refs=base.refs)
+    # constant-on-the-range data stays fine
+    again = w.encode_cloud_profiles(cp, refs=base.refs)
+    assert np.array_equal(np.asarray(again.cols["rei"]),
+                          np.asarray(base.cols["rei"]))
+
+
 def test_wire_shard_save_load_roundtrip(atm, tmp_path):
     """On-disk shards (save_wire/load_wire) reproduce the encoded
     batches bit-for-bit — a stored shard IS the wire bytes."""
@@ -299,6 +323,18 @@ def test_wire_shard_save_load_roundtrip(atm, tmp_path):
     enc_c = w.encode_compact_clouds(clouds)
     w.save_wire(tmp_path / "c.npz", enc_c)
     assert_same(enc_c, w.load_wire(tmp_path / "c.npz"))
+
+    # coded 'unit' (() refs) and 'linear' ((lo, hi) refs) channels —
+    # cldfrac/rei/rel under a coded schema (regression: save_wire
+    # unpacked every ref as a 3-tuple)
+    cp = cloud_profiles(B, L)
+    enc_p = w.encode_cloud_profiles(cp, schema="coded")
+    w.save_wire(tmp_path / "p.npz", enc_p)
+    loaded = w.load_wire(tmp_path / "p.npz")
+    assert_same(enc_p, loaded)
+    # and the loaded linear refs decode (2-tuple, not a fake 3-tuple)
+    dec = w.decode_cloud_profiles(loaded, like=cp["cldfrac"])
+    assert np.abs(np.asarray(dec["rei"]) - cp["rei"]).max() < 0.01
 
 
 def test_native_encoder_matches_numpy(atm):

@@ -256,11 +256,16 @@ def main():
     # masks and cannot use the device-side generator
     from rrtmg_lw_tpu.parallel import wire as w
 
+    # schema captured from batch 0 pins the pytree structure while
+    # keeping uniform channels at 0 bytes/col (schema="coded" would
+    # double the wire)
+    _e0a = w.encode_atmosphere(host_batches[0][0])
+    _e0c = w.encode_compact_clouds(host_batches[0][1])
+    sch_a, sch_c = w.schema_of(_e0a), w.schema_of(_e0c.fields)
     hostmask_wire = [
-        (w.encode_atmosphere(host_batches[i][0], schema="coded"),
-         w.encode_compact_clouds(host_batches[i][1]))
+        (w.encode_atmosphere(host_batches[i][0], schema=sch_a),
+         w.encode_compact_clouds(host_batches[i][1], schema=sch_c))
         for i in range(K)]
-    taua0 = jax.device_put(np.zeros((B, L, 16), np.float32))
 
     @jax.jit
     def step_hmw(ea, ec, i):
@@ -277,8 +282,6 @@ def main():
     # same dataflow as device_gen, but the host ships uint16
     # ratio/delta codes + per-batch reference profiles (parallel.wire)
     # and the step dequantizes on device — ~2.7x less wire
-    from rrtmg_lw_tpu.parallel import wire as w
-
     wire_batches = [(w.encode_atmosphere(atm_fields[i]),
                      w.encode_cloud_profiles(cloud_profiles(B, L, i)))
                     for i in range(K)]
