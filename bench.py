@@ -209,7 +209,7 @@ def main():
         include)."""
         if platform != "tpu" or os.environ.get("BENCH_DEVICE_TRACE",
                                                "1") == "0":
-            return None, None
+            return None, None, None
         from rrtmg_lw_tpu.utils.device_time import \
             device_seconds_per_iter
         state = {"eps": jnp.zeros((), jnp.float32), "out": None}
@@ -223,19 +223,23 @@ def main():
         except Exception as e:                       # noqa: BLE001
             print(f"device trace failed for {name}: "
                   f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
-            return None, None
+            return None, None, None
         if dev_s is None:
-            return None, None
+            return None, None, None
+        # floors are derived at the reference shape; fixed per-step
+        # costs make them non-linear in B, so gate on the exact shape
         floor = floor_us_per_col.get(name)
         util = (floor * B * 1e-6 / dev_s
-                if (floor is not None and L == 60 and dev_s > 0)
+                if (floor is not None and L == 60 and B == 16384
+                    and dev_s > 0)
                 else None)
-        return dev_s, util
+        lanes = (_detail or {}).get("lanes")
+        return dev_s, util, lanes
 
     def record(name, B, L, t, spread, extra=None):
-        dev_s, util = device_time(name, *extra.pop("_step_args"),
-                                  B, L) if extra and "_step_args" in \
-            extra else (None, None)
+        dev_s, util, lanes = device_time(
+            name, *extra.pop("_step_args"), B, L) \
+            if extra and "_step_args" in extra else (None, None, None)
         row = {"workload": name, "ncol": B, "nlay": L,
                "layout": layout, "tile": resolve_tile(B),
                "ms_per_step": round(t * 1e3, 3),
@@ -245,6 +249,9 @@ def main():
                              if dev_s is not None else None),
                "floor_util": (round(util, 3)
                               if util is not None else None),
+               # per-lane trace breakdown (ADVICE r4: makes an
+               # undercounting lane choice visible in the artifact)
+               "device_lanes": lanes,
                "iters": iters, "repeats": repeats,
                "platform": platform}
         if extra:

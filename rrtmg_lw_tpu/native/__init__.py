@@ -25,17 +25,36 @@ _lib = None
 _tried = False
 
 
+def _stale(so: pathlib.Path) -> bool:
+    """True when the shared object is missing or older than any source
+    in native/ — a committed prebuilt .so must never shadow an edited
+    .cc (divergence would otherwise surface only via the numpy-parity
+    tests, after the fact)."""
+    if not so.exists():
+        return True
+    so_mtime = so.stat().st_mtime
+    srcs = list(_NATIVE_DIR.glob("*.cc")) + [_NATIVE_DIR / "Makefile"]
+    return any(s.exists() and s.stat().st_mtime > so_mtime
+               for s in srcs)
+
+
+def _build_if_stale(so: pathlib.Path) -> bool:
+    if _stale(so):
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return so.exists()          # stale-but-present still loads
+    return so.exists()
+
+
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not _SO.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+    if not _build_if_stale(_SO):
+        return None
     try:
         lib = ctypes.CDLL(str(_SO))
         lib.fparse_extract_numbers.restype = ctypes.c_int64
@@ -110,12 +129,8 @@ def _wload():
     if _wtried:
         return _wlib
     _wtried = True
-    if not _WSO.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+    if not _build_if_stale(_WSO):
+        return None
     try:
         lib = ctypes.CDLL(str(_WSO))
         pd = ctypes.POINTER(ctypes.c_double)

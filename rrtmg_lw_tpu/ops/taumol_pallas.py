@@ -586,10 +586,15 @@ class PallasTaumol:
         # ~2.6 GB/step minimum HBM traffic at B=16k; bf16/f16 halve
         # it at reduced precision (A/B via tools/spec_dtype_ab.py —
         # parity gates whether it ever becomes a default)
-        self.spec_dtype = {"": jnp.float32, "f32": jnp.float32,
-                           "bf16": jnp.bfloat16,
-                           "f16": jnp.float16}[
-            os.environ.get("RRTMG_SPEC_DTYPE", "")]
+        _spec_dtypes = {"": jnp.float32, "f32": jnp.float32,
+                        "bf16": jnp.bfloat16, "f16": jnp.float16}
+        _sdt = os.environ.get("RRTMG_SPEC_DTYPE", "")
+        if _sdt not in _spec_dtypes:
+            raise ValueError(
+                f"RRTMG_SPEC_DTYPE={_sdt!r} is not a valid spectral "
+                f"storage dtype; allowed values: '' (default f32), "
+                f"'f32', 'bf16', 'f16'")
+        self.spec_dtype = _spec_dtypes[_sdt]
         self.nsplit = nsplit
         self.nsplit_w = nsplit_w
         self.window = window

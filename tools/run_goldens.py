@@ -1,15 +1,28 @@
 """Run the reference's 14-case golden regression suite through the
-column-mode CLI and compare against the committed outputs.
+column-mode CLI and compare against committed outputs.
 
 Case matrix from run_examples_std_atm/script.run_std_atm:1-66.
 
-With the real k-tables installed (assets/ktables_real.npz) the gate is
-the reference accuracy contract: fluxes <= 0.5 W/m2, heating rates
-<= 0.1 K/day.  With synthetic tables the numbers differ by design; the
-harness still validates structure (block/level counts, pressures) and
-reports the diffs.
+Comparison modes:
+- Default (no --golden-dir): compare against the reference's committed
+  outputs in /root/reference/run_examples_std_atm.  With the real
+  k-tables installed (assets/ktables_real.npz) the gate is the
+  reference accuracy contract: fluxes <= 0.5 W/m2, heating rates
+  <= 0.1 K/day; with synthetic tables the values differ by design so
+  only structure is gated and diffs are reported.
+- --golden-dir DIR: compare against DIR/output_rrtm_<name> and ALWAYS
+  gate values (same comparison code as the real-table path).  Used in
+  CI against the committed framework-generated synthetic goldens
+  (goldens_synthetic/) with tightened tolerances — this keeps the full
+  real-data acceptance path (parser -> RRTATM -> radiation -> writer ->
+  golden comparator -> exit code) executing even though the real
+  k-tables are absent from this environment.
+- --write DIR: run all cases and write DIR/output_rrtm_<name>
+  (golden-generation mode; no comparison).
 
 Usage: python tools/run_goldens.py [--nmca N] [--cases a,b,...]
+           [--golden-dir DIR | --write DIR]
+           [--tol-flux X] [--tol-htr X] [--json OUT]
 """
 
 import argparse
@@ -54,6 +67,16 @@ def main():
     ap.add_argument("--cases", default=None,
                     help="comma-separated substring filters")
     ap.add_argument("--json", default=None, help="write results here")
+    ap.add_argument("--golden-dir", default=None,
+                    help="compare against DIR/output_rrtm_<name> and "
+                         "gate VALUES regardless of k-table kind")
+    ap.add_argument("--write", default=None, metavar="DIR",
+                    help="golden-generation mode: write "
+                         "DIR/output_rrtm_<name>, no comparison")
+    ap.add_argument("--tol-flux", type=float, default=0.5,
+                    help="flux gate in W/m2 (reference contract 0.5)")
+    ap.add_argument("--tol-htr", type=float, default=0.1,
+                    help="heating-rate gate in K/day (contract 0.1)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +91,12 @@ def main():
     kind = "REAL" if is_real else "SYNTHETIC (values will not match goldens)"
     print(f"k-tables: {kind}")
 
+    golden_dir = pathlib.Path(args.golden_dir) if args.golden_dir else REF
+    gate_values = is_real or args.golden_dir is not None
+    write_dir = pathlib.Path(args.write) if args.write else None
+    if write_dir:
+        write_dir.mkdir(parents=True, exist_ok=True)
+
     results = {}
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="rrtmg_goldens_"))
     sel = args.cases.split(",") if args.cases else None
@@ -76,22 +105,29 @@ def main():
         if sel and not any(s in name for s in sel):
             continue
         t0 = time.time()
-        out = tmp / f"output_{name}"
+        out = (write_dir / f"output_rrtm_{name}") if write_dir \
+            else tmp / f"output_{name}"
         run_files(REF / inp, out,
                   cld_path=REF / cld if cld else None,
                   aer_path=REF / aer if aer else None,
                   nmca=args.nmca)
+        if write_dir:
+            results[name] = dict(status="written",
+                                 seconds=round(time.time() - t0, 1))
+            print(f"{name:32s} written  ({results[name]['seconds']}s)")
+            continue
         try:
-            diffs = compare_outputs(out, REF / f"output_rrtm_{name}")
+            diffs = compare_outputs(out, golden_dir / f"output_rrtm_{name}")
             status = "structural-ok"
-            if is_real:
-                passed = diffs["uflx"] <= 0.5 and diffs["dflx"] <= 0.5 \
-                    and diffs["htr"] <= 0.1
+            if gate_values:
+                passed = (diffs["uflx"] <= args.tol_flux
+                          and diffs["dflx"] <= args.tol_flux
+                          and diffs["htr"] <= args.tol_htr)
                 status = "PASS" if passed else "FAIL"
                 ok = ok and passed
             results[name] = dict(status=status, **diffs,
                                  seconds=round(time.time() - t0, 1))
-        except ValueError as e:
+        except (ValueError, OSError) as e:
             results[name] = dict(status=f"STRUCT-FAIL: {e}")
             ok = False
         r = results[name]
