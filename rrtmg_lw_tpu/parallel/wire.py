@@ -172,6 +172,85 @@ def _enc_linear(x, frozen=None):
 
 
 # ---------------------------------------------------------------------------
+# structural validation (host-side, at the ingest boundary)
+# ---------------------------------------------------------------------------
+def _validate_batch(fields, wire, where):
+    B = None
+    for name, u in wire.cols.items():
+        u = np.asarray(u)
+        if u.dtype != np.uint16:
+            raise ValueError(f"{where}: channel {name!r} codes have "
+                             f"dtype {u.dtype}, expected uint16")
+        if u.ndim < 1 or u.shape[0] == 0:
+            raise ValueError(f"{where}: channel {name!r} codes are "
+                             f"empty/scalar (shape {u.shape}) — "
+                             "truncated batch?")
+        if B is None:
+            B = u.shape[0]
+        elif u.shape[0] != B:
+            raise ValueError(
+                f"{where}: channel {name!r} has batch dim "
+                f"{u.shape[0]} but other channels have {B} — "
+                "truncated batch")
+        if name not in wire.refs:
+            raise ValueError(f"{where}: channel {name!r} has codes "
+                             "but no refs entry")
+    for name, r in wire.refs.items():
+        kind = fields.get(name)
+        if kind is None:
+            raise ValueError(f"{where}: unknown channel {name!r}")
+        if r is None or isinstance(r, dict):
+            continue                    # zero / uniform: no codes
+        if kind == "unit":
+            if len(r) != 0:
+                raise ValueError(f"{where}: unit channel {name!r} "
+                                 f"carries refs {r!r}")
+        elif kind == "linear":
+            if len(r) != 2:
+                raise ValueError(f"{where}: linear channel {name!r} "
+                                 f"refs arity {len(r)} != 2")
+        elif len(r) != 3:
+            raise ValueError(f"{where}: {kind} channel {name!r} "
+                             f"refs arity {len(r)} != 3")
+        if name not in wire.cols:
+            raise ValueError(f"{where}: coded channel {name!r} has "
+                             "refs but its codes are missing — "
+                             "truncated batch")
+    return B
+
+
+def validate_wire(wire, *, fields=None) -> int:
+    """Structural validation of an incoming WireBatch /
+    CompactCloudsWire at the host ingest boundary (BEFORE device_put):
+    code dtypes, refs arity, per-channel batch-dim consistency, known
+    channel names.  Raises ValueError naming the offending channel;
+    returns the batch size.  Value-level corruption (NaN/Inf refs,
+    inverted ranges) is the in-jit ``sanitize=True`` decode path's
+    job — a device-resident pipeline never re-hosts refs to check
+    them."""
+    if isinstance(wire, CompactCloudsWire):
+        bits = np.asarray(wire.mask_bits)
+        if bits.dtype != np.uint8 or bits.ndim != 3:
+            raise ValueError(
+                f"compact-clouds wire: mask_bits dtype/ndim "
+                f"{bits.dtype}/{bits.ndim}, expected uint8 (L, G/8, B)")
+        B = _validate_batch(COMPACT_CLOUD_FIELDS, wire.fields,
+                            "compact-clouds wire")
+        if B is not None and bits.shape[2] != B:
+            raise ValueError(
+                f"compact-clouds wire: mask batch dim {bits.shape[2]} "
+                f"!= field batch dim {B} — truncated batch")
+        return bits.shape[2]
+    known = dict(ATM_FIELDS)
+    known.update(CLOUD_FIELDS)
+    B = _validate_batch(fields or known, wire, "wire batch")
+    if B is None:
+        raise ValueError("wire batch has no per-column codes — pass "
+                         "fields= if every channel is zero/uniform")
+    return B
+
+
+# ---------------------------------------------------------------------------
 # device-side decoders (jnp, inside jit)
 # ---------------------------------------------------------------------------
 def _dec_logratio(u, refs, dtype):
@@ -300,7 +379,33 @@ def schema_of(wire: WireBatch) -> dict:
             for name, r in wire.refs.items()}
 
 
-def _decode(fields, wire, shape_of, dtype):
+def _refs_ok(r):
+    """Scalar bool (in-jit): this channel's references are finite and
+    its quantization range is ordered.  Corrupt refs poison every
+    decoded element of the batch, so the granularity is per-channel."""
+    if r is None or (not isinstance(r, dict) and len(r) == 0):
+        return jnp.asarray(True)
+    if isinstance(r, dict):
+        return jnp.isfinite(jnp.asarray(r["uniform"],
+                                        jnp.float32)).all()
+    if len(r) == 2:
+        lo = jnp.asarray(r[0], jnp.float32)
+        hi = jnp.asarray(r[1], jnp.float32)
+        return jnp.isfinite(lo) & jnp.isfinite(hi) & (hi >= lo)
+    ref, lo, hi = (jnp.asarray(x, jnp.float32) for x in r)
+    return (jnp.isfinite(ref).all() & jnp.isfinite(lo)
+            & jnp.isfinite(hi) & (hi >= lo))
+
+
+def _decode(fields, wire, shape_of, dtype, sanitize=False,
+            floors=None, fallback_of=None, ok_out=None):
+    """``sanitize``: guard every decoded channel — non-finite values,
+    values at/below the field's physical floor (``floors``), or any
+    value decoded from corrupt refs are replaced by the field's finite
+    fallback and the affected columns are recorded in ``ok_out`` (a
+    dict of (B,) bools).  On clean input the guards are exact
+    pass-throughs (fused elementwise selects, negligible device
+    cost)."""
     out = {}
     for name, kind in fields.items():
         if name not in wire.refs:
@@ -308,13 +413,26 @@ def _decode(fields, wire, shape_of, dtype):
         r = wire.refs[name]
         if r is None:
             out[name] = jnp.zeros(shape_of(name), dtype)
-            continue
+            continue                   # exact zeros: nothing to guard
         if isinstance(r, dict):        # uniform channel
-            out[name] = jnp.broadcast_to(
-                r["uniform"].astype(dtype), shape_of(name))
-            continue
-        _, dec = _CODECS[kind]
-        out[name] = dec(wire.cols[name], r, dtype)
+            x = jnp.broadcast_to(r["uniform"].astype(dtype),
+                                 shape_of(name))
+        else:
+            _, dec = _CODECS[kind]
+            x = dec(wire.cols[name], r, dtype)
+        if sanitize:
+            cok = _refs_ok(r)
+            bad = ~jnp.isfinite(x)
+            floor = (floors or {}).get(name)
+            if floor is not None:
+                bad = bad | (x <= floor)
+            fb = (fallback_of(name, x.shape, dtype) if fallback_of
+                  else jnp.zeros_like(x))
+            x = jnp.where(bad | ~cok, fb, x)
+            col_ok = cok & ~bad.reshape(x.shape[0], -1).any(axis=1)
+            if ok_out is not None:
+                ok_out[name] = col_ok
+        out[name] = x
     return out
 
 
@@ -330,8 +448,44 @@ def encode_atmosphere(atm, schema=None, refs=None) -> WireBatch:
     return _encode(ATM_FIELDS, d, schema, refs)
 
 
-def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
-                      ) -> Atmosphere:
+# physical floors for sanitized decode: values at/below these feed
+# logs/divisions downstream (setcoef's log(pavel), Planck temperature
+# indexing), so they are corruption, not data
+_ATM_FLOORS = {"play": 0.0, "tlay": 0.0, "tlev": 0.0, "tsfc": 0.0}
+
+
+def _atm_fallback(name, shape, dtype):
+    """A finite, physically valid stand-in per field: corrupted
+    channels decode to a standard-ish column (monotone pressure grid,
+    temperate profile) so the radiation step stays finite end-to-end;
+    the wire_ok flag records which columns were replaced."""
+    if name == "plev":
+        prof = jnp.linspace(1013.0, 1e-2, shape[1], dtype=dtype)
+        return jnp.broadcast_to(prof, shape)
+    if name == "play":
+        edges = jnp.linspace(1013.0, 1e-2, shape[1] + 1, dtype=dtype)
+        return jnp.broadcast_to(0.5 * (edges[:-1] + edges[1:]), shape)
+    if name in ("tlay", "tlev"):
+        return jnp.full(shape, 250.0, dtype)
+    if name == "tsfc":
+        return jnp.full(shape, 288.0, dtype)
+    if name == "emis":
+        return jnp.ones(shape, dtype)
+    return jnp.zeros(shape, dtype)     # gas vmr: zero is valid input
+
+
+def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32, *,
+                      sanitize: bool = False):
+    """-> Atmosphere, or (Atmosphere, ok) with ``sanitize=True``.
+
+    ``sanitize`` hardens the production ingest boundary: corrupted
+    wire content (NaN/Inf references, inverted quantization ranges,
+    codes decoding to nonpositive pressures/temperatures) is replaced
+    per channel by finite fallback profiles and ``ok`` — a (B,) bool,
+    False for affected columns — is returned for the step to thread
+    into ``Fluxes.wire_ok``.  The reference would hard-stop on bad
+    input (e.g. rrtmg_lw_cldprmc.f90:204); a jitted streaming step
+    cannot, so flag-and-continue is the TPU-native contract."""
     # shapes from the device-resident aerosol state: every wire
     # channel may be uniform/zero, so cols can't be the shape source
     B, L = tauaer.shape[:2]
@@ -340,8 +494,17 @@ def decode_atmosphere(wire: WireBatch, tauaer, dtype=jnp.float32
         return {"tsfc": (B,), "emis": (B, 16),
                 "plev": (B, L + 1), "tlev": (B, L + 1)}.get(name, (B, L))
 
-    d = _decode(ATM_FIELDS, wire, shape_of, dtype)
-    return Atmosphere(tauaer=tauaer, **d)
+    ok_out = {} if sanitize else None
+    d = _decode(ATM_FIELDS, wire, shape_of, dtype, sanitize=sanitize,
+                floors=_ATM_FLOORS, fallback_of=_atm_fallback,
+                ok_out=ok_out)
+    atm = Atmosphere(tauaer=tauaer, **d)
+    if not sanitize:
+        return atm
+    ok = jnp.ones((B,), bool)
+    for v in ok_out.values():
+        ok = ok & v
+    return atm, ok
 
 
 def encode_cloud_profiles(cp: dict, schema=None, refs=None
@@ -352,11 +515,16 @@ def encode_cloud_profiles(cp: dict, schema=None, refs=None
 
 
 def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32, *,
-                          like=None) -> dict:
+                          like=None, sanitize: bool = False):
     """``like``: any (B, L) array supplying the output shape (e.g.
     the decoded atmosphere's ``play``) — required when EVERY cloud
     channel is zero/uniform (a fully clear or constant-cloud batch
-    ships no per-column codes at all)."""
+    ships no per-column codes at all).
+
+    ``sanitize``: guard against corrupt refs (see decode_atmosphere);
+    returns (dict, ok (B,) bool).  Cloud fallbacks are all-clear
+    (zeros) — particle-size range violations downstream are
+    cldprmc's own clamp+flag domain (Fluxes.cld_bounds_ok)."""
     if like is not None:
         shape = like.shape
     elif wire.cols:
@@ -366,7 +534,15 @@ def decode_cloud_profiles(wire: WireBatch, dtype=jnp.float32, *,
             "decode_cloud_profiles: no per-column codes in this batch "
             "(all channels zero/uniform) — pass like=<any (B, L) "
             "array> for the output shape")
-    return _decode(CLOUD_FIELDS, wire, lambda name: shape, dtype)
+    ok_out = {} if sanitize else None
+    d = _decode(CLOUD_FIELDS, wire, lambda name: shape, dtype,
+                sanitize=sanitize, ok_out=ok_out)
+    if not sanitize:
+        return d
+    ok = jnp.ones((shape[0],), bool)
+    for v in ok_out.values():
+        ok = ok & v
+    return d, ok
 
 
 # ---------------------------------------------------------------------------
@@ -400,9 +576,12 @@ def encode_compact_clouds(clouds, schema=None) -> CompactCloudsWire:
 
 
 def decode_compact_clouds(wire: CompactCloudsWire, dtype=jnp.float32,
-                          mask_dtype=None):
-    """-> McicaCloudsCompact, unpacking the mask on device (cheap
-    elementwise shifts, fused into the step)."""
+                          mask_dtype=None, *, sanitize: bool = False):
+    """-> McicaCloudsCompact (or (clouds, ok (B,) bool) with
+    ``sanitize=True``), unpacking the mask on device (cheap
+    elementwise shifts, fused into the step).  The bit-packed mask
+    itself cannot encode non-finite values; corruption enters through
+    the uint16 field refs, which sanitize guards."""
     from ..types import McicaCloudsCompact
     bits = wire.mask_bits
     L, nb, B = bits.shape
@@ -410,9 +589,17 @@ def decode_compact_clouds(wire: CompactCloudsWire, dtype=jnp.float32,
     mask = ((bits[:, :, None, :] >> shifts) & 1).reshape(L, nb * 8, B)
     mask = mask.astype(jnp.int8 if mask_dtype is None else mask_dtype)
     like = jnp.zeros((B, L), dtype)
+    ok_out = {} if sanitize else None
     d = _decode(COMPACT_CLOUD_FIELDS, wire.fields,
-                lambda name: like.shape, dtype)
-    return McicaCloudsCompact(cldfmc=mask, **d)
+                lambda name: like.shape, dtype, sanitize=sanitize,
+                ok_out=ok_out)
+    clouds = McicaCloudsCompact(cldfmc=mask, **d)
+    if not sanitize:
+        return clouds
+    ok = jnp.ones((B,), bool)
+    for v in ok_out.values():
+        ok = ok & v
+    return clouds, ok
 
 
 # ---------------------------------------------------------------------------

@@ -205,3 +205,10 @@ class Fluxes(NamedTuple):
     # vertical grids so one layer's jp spread exceeds the window —
     # physically absurd inputs, but silently wrong if unchecked)
     window_ok: Optional[jnp.ndarray] = None
+    # per-column bool (B,): False where the streaming wire decode
+    # (parallel/wire.py, sanitize=True) replaced corrupted inputs —
+    # non-finite references/ranges or physically impossible decoded
+    # values — with finite fallbacks.  The ingest step threads the
+    # decoder's ok flag here so corruption at the production wire
+    # boundary is flagged, never silently propagated as NaN fluxes.
+    wire_ok: Optional[jnp.ndarray] = None

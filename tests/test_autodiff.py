@@ -51,6 +51,7 @@ def test_grad_olr_wrt_tlay_matches_fd(clear_setup):
         assert g[idx] == pytest.approx(float(fd), rel=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_surface_flux_wrt_h2o_matches_fd(clear_setup):
     model, atm = clear_setup
 
@@ -68,6 +69,7 @@ def test_grad_surface_flux_wrt_h2o_matches_fd(clear_setup):
     assert g[idx] == pytest.approx(float(fd), rel=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_cloudy_mcica_wrt_ciwp_matches_fd():
     model = make_model(LWConfig(icld=2, imca=1, use_lut=False))
     atm = make_atmosphere(ncol=2, nlay=12)

@@ -8,6 +8,8 @@ from rrtmg_lw_tpu.data import ktables as kt
 from rrtmg_lw_tpu.ops.cldprop import _ice_liq_coeffs
 from rrtmg_lw_tpu.ops.cldcoef_pallas import ice_liq_coeffs_blocked
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas (VERDICT r4 #5)
+
 
 @pytest.mark.parametrize("iceflag", [2, 3])
 def test_cldcoef_pallas_matches_xla(iceflag):

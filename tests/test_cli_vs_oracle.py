@@ -27,8 +27,11 @@ from rrtmg_lw_tpu.ops.tables import build_lookup_tables
 
 REF = pathlib.Path("/root/reference/run_examples_std_atm")
 
-pytestmark = pytest.mark.skipif(not REF.exists(),
-                                reason="reference mount absent")
+pytestmark = [
+    pytest.mark.skipif(not REF.exists(),
+                       reason="reference mount absent"),
+    pytest.mark.slow,  # per-deck value pins; quick-tier CLI coverage lives in test_goldens_values_synthetic
+]
 
 
 @pytest.fixture(scope="module")

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from rrtmg_lw_tpu import LWConfig, make_model
 from rrtmg_lw_tpu.utils.synthetic import make_atmosphere, make_mcica_clouds
 
+pytestmark = pytest.mark.slow  # full-pipeline accuracy contract sweeps (round gate)
+
 
 @pytest.mark.parametrize("icld", [0, 2])
 def test_f32_within_contract(icld):

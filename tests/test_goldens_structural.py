@@ -54,6 +54,7 @@ CASES = [
 @pytest.mark.skipif(not REF.exists(), reason="reference mount absent")
 @pytest.mark.parametrize("name,inp,cld,aer", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_golden_structure(name, inp, cld, aer):
     from rrtmg_lw_tpu.cli import run_files
     from rrtmg_lw_tpu.io.golden import parse_output_rrtm

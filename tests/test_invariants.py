@@ -405,6 +405,7 @@ def test_schwarzschild_linear_in_tau_pallas():
 # ---------------------------------------------------------------------------
 # the same invariants through the Pallas kernels (interpret mode, f32)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_isothermal_exact_collapse_pallas():
     """The exact collapse (layer-constant fracs, isothermal planck)
     holds through the Pallas RT sweep kernel in interpret mode, to
@@ -442,6 +443,7 @@ PALLAS_CONFIGS = [(0, 1), (2, 1), (2, 0)]   # clear, McICA, maxrand
 
 
 @pytest.mark.parametrize("icld,imca", PALLAS_CONFIGS)
+@pytest.mark.slow
 def test_isothermal_full_model_pallas(icld, imca):
     """Full fused Pallas pipeline (taumol + planck + RT kernels,
     interpret mode, f32): same anchors as the f64 full-model test."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rrtmg_lw_tpu import LWConfig, make_model
 from rrtmg_lw_tpu.utils.profiling import (StageTimer, ThroughputMeter,
@@ -31,6 +32,7 @@ def test_memory_stats_no_crash():
     device_memory_stats()  # None on CPU is fine
 
 
+@pytest.mark.slow
 def test_cld_bounds_flag_surfaces():
     m = make_model(LWConfig(icld=2, imca=1, dtype="float64"))
     atm = make_atmosphere(ncol=2, nlay=16)

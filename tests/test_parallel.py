@@ -14,6 +14,7 @@ from rrtmg_lw_tpu import LWConfig, make_model
 from rrtmg_lw_tpu import parallel as par
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("spec", [1, 2])
 def test_sharded_matches_single_device(spec):
     if len(jax.devices()) < 8:
@@ -91,6 +92,7 @@ def test_graft_entry_single_chip():
     assert out.duflx_dt is not None
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
@@ -153,6 +155,7 @@ def test_mesh_global_metrics():
     assert float(norms["hr_maxabs"]) >= 0.0
 
 
+@pytest.mark.slow
 def test_two_process_distributed_mesh(tmp_path):
     """VERDICT r1 #7: the sharded step + metrics collectives must
     survive a process boundary.  Two fresh processes x 4 virtual CPU
@@ -223,6 +226,7 @@ def test_two_process_distributed_mesh(tmp_path):
         float(d0["metric_olr_mean"]), ref[:, -1].mean(), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_shard_map_clear_sky():
     """Regression: shard_map step with clouds=None (clear sky) used to
     crash in _pspecs_for (None pytree treated as a spec leaf)."""
@@ -240,6 +244,7 @@ def test_shard_map_clear_sky():
                                np.asarray(ref.uflx), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_run_epoch_namedtuple_batches():
     """Regression: run_epoch must not splat NamedTuple batches
     (Atmosphere is a tuple subclass) into positional args."""

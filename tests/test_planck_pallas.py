@@ -8,6 +8,8 @@ from rrtmg_lw_tpu.data import ktables as kt
 from rrtmg_lw_tpu.ops.planck_pallas import planck_interp_blocked
 from rrtmg_lw_tpu.ops.setcoef import _interp_planck, _planck_index
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas (VERDICT r4 #5)
+
 
 @pytest.fixture(scope="module")
 def totplnk():

@@ -193,6 +193,7 @@ def test_autlay_tight_parameters_make_more_layers(tmp_path):
     assert (av[:-1] / av[1:]).max() <= 1.2 * 1.05
 
 
+@pytest.mark.slow
 def test_autlay_full_radiation_runs(tmp_path):
     """The AUTLAY deck must run end-to-end through the CLI solver."""
     from rrtmg_lw_tpu.cli import run_case
@@ -315,6 +316,7 @@ def test_xamnts_unknown_name_raises(tmp_path):
         read_input_rrtm(_xsec_deck(tmp_path, recs))
 
 
+@pytest.mark.slow
 def test_xamnts_full_radiation_runs(tmp_path):
     """End-to-end CLI run with IATM=1 cross sections: fluxes finite and
     the x gases add absorption vs the same deck without them."""

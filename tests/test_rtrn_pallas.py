@@ -17,6 +17,8 @@ from rrtmg_lw_tpu.ops.inatm import inatm
 from rrtmg_lw_tpu.ops.setcoef import setcoef
 from rrtmg_lw_tpu.utils.synthetic import make_atmosphere
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas (VERDICT r4 #5)
+
 
 @pytest.fixture(scope="module")
 def stack():

@@ -27,6 +27,8 @@ from rrtmg_lw_tpu.utils.synthetic import (make_atmosphere,
                                           make_band_clouds,
                                           make_mcica_clouds)
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas under shard_map (VERDICT r4 #5)
+
 B, L = 2048, 60      # 256 columns/device = exactly one kernel tile
 
 

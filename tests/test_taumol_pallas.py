@@ -13,6 +13,8 @@ from rrtmg_lw_tpu.ops.inatm import inatm
 from rrtmg_lw_tpu.ops.setcoef import setcoef
 from rrtmg_lw_tpu.ops.taumol_pallas import PallasTaumol
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas (VERDICT r4 #5)
+
 
 @pytest.fixture(scope="module")
 def setup():

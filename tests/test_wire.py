@@ -411,3 +411,174 @@ def test_wire_is_at_least_2x_smaller(atm):
     assert wire_b * 2 <= f32_bytes, (wire_b, f32_bytes)
     # absolute: under 2.4 KB/column at nlay=60
     assert wire_b / B < 2400, wire_b / B
+
+
+# ---------------------------------------------------------------------------
+# adversarial ingest robustness (VERDICT r4 #7): the wire is the
+# production ingest boundary — corrupted/truncated/NaN-ref batches
+# must produce FLAGGED, FINITE outputs, never NaN fluxes
+# ---------------------------------------------------------------------------
+def _corrupt_refs(enc, name, which):
+    """Return a copy of ``enc`` with channel ``name``'s refs corrupted."""
+    ref, lo, hi = enc.refs[name]
+    bad = {"nan_ref": (np.full_like(np.asarray(ref), np.nan), lo, hi),
+           "inf_lo": (ref, np.float32(-np.inf), hi),
+           "nan_hi": (ref, lo, np.float32(np.nan)),
+           "inverted": (ref, hi, lo) if float(hi) > float(lo)
+           else (ref, np.float32(1.0), np.float32(0.0))}[which]
+    refs = dict(enc.refs)
+    refs[name] = bad
+    return w.WireBatch(dict(enc.cols), refs)
+
+
+@pytest.mark.parametrize("which", ["nan_ref", "inf_lo", "nan_hi",
+                                   "inverted"])
+def test_sanitized_decode_flags_corrupt_refs(atm, which):
+    enc = _corrupt_refs(w.encode_atmosphere(atm), "play", which)
+    dec, ok = jax.jit(lambda e, t: w.decode_atmosphere(
+        e, t, sanitize=True))(enc, jnp.asarray(atm.tauaer))
+    assert not np.asarray(ok).any()              # whole batch flagged
+    for name in w.ATM_FIELDS:
+        assert np.isfinite(np.asarray(getattr(dec, name))).all(), name
+    # the corrupted channel fell back to the finite stand-in profile
+    assert (np.asarray(dec.play) > 0).all()
+
+
+def test_sanitized_decode_clean_batch_is_exact(atm):
+    """On clean input the sanitize guards are exact pass-throughs."""
+    enc = w.encode_atmosphere(atm)
+    plain = w.decode_atmosphere(enc, jnp.asarray(atm.tauaer))
+    dec, ok = w.decode_atmosphere(enc, jnp.asarray(atm.tauaer),
+                                  sanitize=True)
+    assert np.asarray(ok).all()
+    for name in w.ATM_FIELDS:
+        assert np.array_equal(np.asarray(getattr(dec, name)),
+                              np.asarray(getattr(plain, name))), name
+
+
+def test_no_nan_propagation_into_fluxes(atm):
+    """End-to-end: NaN-ref atmosphere + corrupt cloud refs through the
+    full model — fluxes finite, Fluxes.wire_ok False."""
+    model = make_model(LWConfig(icld=2, imca=1, dtype="float32",
+                                use_lut=False))
+    from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
+    cp = cloud_profiles(B, L)
+    enc_a = _corrupt_refs(w.encode_atmosphere(atm), "tlay", "nan_ref")
+    enc_c = _corrupt_refs(w.encode_cloud_profiles(cp), "ciwp",
+                          "nan_hi")
+    key = jax.random.key(3)
+
+    @jax.jit
+    def step(ea, ec, tauaer):
+        a, ok_a = w.decode_atmosphere(ea, tauaer, sanitize=True)
+        c, ok_c = w.decode_cloud_profiles(ec, like=a.play,
+                                          sanitize=True)
+        clouds = mcica_subcol_lw_compact(
+            key, 2, c["cldfrac"], c["ciwp"], c["clwp"], c["rei"],
+            c["rel"])
+        fl = model(a, clouds)
+        return fl._replace(wire_ok=ok_a & ok_c)
+
+    fl = step(enc_a, enc_c, jnp.asarray(atm.tauaer))
+    assert not np.asarray(fl.wire_ok).any()
+    for name in ("uflx", "dflx", "hr", "uflxc", "dflxc", "hrc"):
+        assert np.isfinite(np.asarray(getattr(fl, name))).all(), name
+
+
+def test_sanitized_decode_floors_zero_pressure(atm):
+    """Corrupted CODES (not refs): zero-sentinel codes in a logratio
+    pressure channel decode to 0 hPa — physically impossible, feeds
+    log() downstream.  Sanitize floors them and flags the columns."""
+    enc = w.encode_atmosphere(atm)
+    cols = dict(enc.cols)
+    play = np.array(cols["play"])
+    play[: B // 2] = 0                 # exact-zero sentinel everywhere
+    cols["play"] = play
+    dec, ok = w.decode_atmosphere(w.WireBatch(cols, dict(enc.refs)),
+                                  jnp.asarray(atm.tauaer),
+                                  sanitize=True)
+    ok = np.asarray(ok)
+    assert not ok[: B // 2].any() and ok[B // 2:].all()
+    assert (np.asarray(dec.play) > 0).all()
+
+
+def test_compact_clouds_sanitized_decode(atm):
+    from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
+    cp = cloud_profiles(B, L)
+    clouds = mcica_subcol_lw_compact(
+        jax.random.key(5), 2, jnp.asarray(cp["cldfrac"]),
+        jnp.asarray(cp["ciwp"]), jnp.asarray(cp["clwp"]),
+        jnp.asarray(cp["rei"]), jnp.asarray(cp["rel"]))
+    clouds_h = jax.tree_util.tree_map(np.asarray, clouds)
+    enc = w.encode_compact_clouds(clouds_h)
+    refs = dict(enc.fields.refs)
+    ref, lo, hi = refs["clwp"]
+    refs["clwp"] = (np.full_like(np.asarray(ref), np.inf), lo, hi)
+    bad = w.CompactCloudsWire(enc.mask_bits,
+                              w.WireBatch(dict(enc.fields.cols), refs))
+    dec, ok = w.decode_compact_clouds(bad, sanitize=True)
+    assert not np.asarray(ok).any()
+    assert np.isfinite(np.asarray(dec.clwp)).all()
+    # mask is bit-packed uint8: survives untouched
+    assert np.array_equal(np.asarray(dec.cldfmc),
+                          np.asarray(clouds_h.cldfmc))
+
+
+def test_validate_wire_catches_truncation(atm):
+    enc = w.encode_atmosphere(atm)
+    assert w.validate_wire(enc) == B
+
+    # truncated channel: half the columns missing
+    cols = dict(enc.cols)
+    cols["tlay"] = np.asarray(cols["tlay"])[: B // 2]
+    with pytest.raises(ValueError, match="batch dim"):
+        w.validate_wire(w.WireBatch(cols, dict(enc.refs)))
+
+    # dropped refs entry for present codes
+    refs = dict(enc.refs)
+    del refs["play"]
+    with pytest.raises(ValueError, match="no refs entry"):
+        w.validate_wire(w.WireBatch(dict(enc.cols), refs))
+
+    # dropped codes for coded refs
+    cols2 = dict(enc.cols)
+    del cols2["play"]
+    with pytest.raises(ValueError, match="codes are missing"):
+        w.validate_wire(w.WireBatch(cols2, dict(enc.refs)))
+
+    # wrong code dtype (bit-flipped container)
+    cols3 = dict(enc.cols)
+    cols3["play"] = np.asarray(cols3["play"]).astype(np.uint8)
+    with pytest.raises(ValueError, match="uint16"):
+        w.validate_wire(w.WireBatch(cols3, dict(enc.refs)))
+
+    # refs arity mangled
+    refs4 = dict(enc.refs)
+    refs4["play"] = refs4["play"][:2]
+    with pytest.raises(ValueError, match="arity"):
+        w.validate_wire(w.WireBatch(dict(enc.cols), refs4))
+
+    # unknown channel name
+    cols5 = dict(enc.cols)
+    refs5 = dict(enc.refs)
+    cols5["bogus"] = cols5["play"]
+    refs5["bogus"] = refs5["play"]
+    with pytest.raises(ValueError, match="unknown channel"):
+        w.validate_wire(w.WireBatch(cols5, refs5))
+
+
+def test_validate_wire_compact_clouds(atm):
+    from rrtmg_lw_tpu.ops.mcica import mcica_subcol_lw_compact
+    cp = cloud_profiles(B, L)
+    clouds = mcica_subcol_lw_compact(
+        jax.random.key(7), 2, jnp.asarray(cp["cldfrac"]),
+        jnp.asarray(cp["ciwp"]), jnp.asarray(cp["clwp"]),
+        jnp.asarray(cp["rei"]), jnp.asarray(cp["rel"]))
+    enc = w.encode_compact_clouds(
+        jax.tree_util.tree_map(np.asarray, clouds))
+    assert w.validate_wire(enc) == B
+    # truncated mask (batch axis)
+    bad = w.CompactCloudsWire(np.asarray(enc.mask_bits)[:, :, : B // 2],
+                              enc.fields)
+    with pytest.raises(ValueError, match="batch dim"):
+        w.validate_wire(bad)
