@@ -198,10 +198,16 @@ def main():
     # (PERF_NOTES round-3 derivation at B=16k: taumol
     # selection-matmul floor 5.7 ms + HBM/pack ~2 ms; RT VPU sweep
     # elementwise floor ~4-5 ms cloudy / ~3 ms clear; planck+cldcoef
-    # ~1 ms).  floor_util = floor / measured device time; null where
-    # no floor has been derived (deep profiles).
+    # ~1 ms).  The grad floor is the round-5 derivation (PERF_NOTES):
+    # fwd 13.5 + taumol bwd 3x5.9 + RT bwd 3x5.2 + cldcoef/planck bwd
+    # ~3 ms ~= 50 ms at B=16k if every backward ran at Pallas-kernel
+    # cost structure; the measured RT backward is XLA, so grad
+    # floor_util honestly reports the remaining headroom.
+    # floor_util = floor / measured device time; null where no floor
+    # has been derived (deep profiles).
     floor_us_per_col = {"clear": 9.0e3 / 16384,
-                        "mcica_cloudy": 12.5e3 / 16384}
+                        "mcica_cloudy": 12.5e3 / 16384,
+                        "mcica_cloudy_grad": 50.0e3 / 16384}
 
     def device_time(name, step, args, B, L):
         """Per-iteration device ms from a short xprof trace (immune
@@ -285,6 +291,27 @@ def main():
                                     (atm_b, clouds_b), iters, repeats)
         record("mcica_cloudy_pipelined", ncol, nlay, t_p, s_p)
         del atm_b, clouds_b
+
+    # gradient (training) step at the official shape — VERDICT r4 #1:
+    # autodiff is a flagship capability, so its cost is benched every
+    # round (value_and_grad of the default sharded-grad-step loss,
+    # w.r.t. the full Atmosphere pytree; backward = in-kernel-vjp
+    # Pallas taumol + column-chunked XLA RT vjp)
+    if platform == "tpu" and os.environ.get("BENCH_GRAD", "1") == "1":
+        def _grad_loss(a, c):
+            fl = cld_model(a, c)
+            return (fl.hr ** 2).mean() + (fl.uflx[:, -1] ** 2).mean()
+
+        @jax.jit
+        def grad_step(a, c, eps):
+            loss, g = jax.value_and_grad(_grad_loss)(
+                a._replace(tlay=a.tlay + eps), c)
+            return g, loss * 1e-20
+
+        t_g, s_g = _bench_one(grad_step, (atm, clouds),
+                              max(3, iters // 3), repeats)
+        record("mcica_cloudy_grad", ncol, nlay, t_g, s_g,
+               {"_step_args": (grad_step, (atm, clouds))})
 
     # deep-atmosphere workload (GCM production depths)
     if run_deep:

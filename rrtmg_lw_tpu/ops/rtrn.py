@@ -178,9 +178,16 @@ def rt_random_overlap(taut, fracs, planklay, planklev, plankbnd,
         raise ValueError("taut g-dim must match selected bands")
     ngb0 = ngb_full[gsel]
 
-    pre = precompute(taut, cldf_g, odcld_g, cloudy_lay, cld_gate, fracs,
-                     planklay, planklev, pwvcm, ngb0, luts, use_lut,
-                     odcld_weighted=odcld_weighted)
+    # rematerialized under autodiff: the ~8 (B, L, G) source/
+    # absorptivity arrays are cheap elementwise chains off taut; saving
+    # them as residuals (instead of recomputing in the backward) is
+    # what pushes the RT vjp footprint past HBM at large B.  Pure
+    # forward execution is unaffected by jax.checkpoint.
+    pre = jax.checkpoint(
+        lambda t, cf, od, fr, pl_, pv, pw: precompute(
+            t, cf, od, cloudy_lay, cld_gate, fr, pl_, pv, pw, ngb0,
+            luts, use_lut, odcld_weighted=odcld_weighted),
+    )(taut, cldf_g, odcld_g, fracs, planklay, planklev, pwvcm)
 
     # cloud-in-path-above flag, per level (reverse cumulative OR)
     iclddn = jnp.flip(jnp.cumsum(jnp.flip(

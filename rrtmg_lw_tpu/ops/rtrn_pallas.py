@@ -1037,8 +1037,26 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
         return fluxes(*args), args
 
     def bwd(args, ct):
-        _, vjp = jax.vjp(fluxes_xla, *args)
-        return vjp(ct)
+        # column-chunked vjp of the XLA twin (ops/_vjp_chunk.py): RT is
+        # exactly per-column, and the whole-batch scan residuals are
+        # what OOM'd the grad step at B>=8192 (VERDICT r4 #1)
+        from ._vjp_chunk import chunkable, chunked_vjp, pick_nchunk
+        B_, Lp1 = args[8].shape
+        ax_tf = 2 if (blocked or native) else 0
+        ax_pl = 2 if planck_blocked else 0
+        ax_cld = 2 if clouds_blocked else 0
+        axes = (ax_tf, ax_tf, ax_pl, ax_pl, 0, 0, 0, 0, 0,
+                None if args[9] is None else ax_cld,
+                None if args[10] is None else ax_cld,
+                None if args[11] is None else 0,
+                None if args[12] is None
+                else tuple(2 for _ in args[12]))
+        ct_axes = tuple(0 for _ in ct)
+        nch = pick_nchunk(B_, Lp1 - 1)
+        if nch > 1 and not (chunkable(args, axes, B_)
+                            and chunkable(ct, ct_axes, B_)):
+            nch = 1
+        return chunked_vjp(fluxes_xla, args, ct, axes, ct_axes, nch)
 
     fluxes.defvjp(fwd, bwd)
 
@@ -1169,8 +1187,19 @@ def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
         return fluxes(*args), args
 
     def bwd(args, ct):
-        _, vjp = jax.vjp(fluxes_xla, *args)
-        return vjp(ct)
+        # column-chunked vjp (see the random-overlap bwd above).
+        # rt_maxrandom's overlap pre-passes couple only adjacent
+        # LEVELS of one column, never columns — chunking stays exact.
+        from ._vjp_chunk import chunkable, chunked_vjp, pick_nchunk
+        ax_pl = 2 if planck_blocked else 0
+        axes = (2, 2, ax_pl, ax_pl, 0, 0, 0, 0, 0, 0, 2,
+                None if args[11] is None else 0)
+        ct_axes = tuple(0 for _ in ct)
+        nch = pick_nchunk(B, L)
+        if nch > 1 and not (chunkable(args, axes, B)
+                            and chunkable(ct, ct_axes, B)):
+            nch = 1
+        return chunked_vjp(fluxes_xla, args, ct, axes, ct_axes, nch)
 
     fluxes.defvjp(fwd, bwd)
 

@@ -367,6 +367,42 @@ def _dot_facw2(tbls_tiled, W0, W1, nsplit: int = NSPLIT,
     return M[:, :T], M[:, T:]
 
 
+def _aux_W(meta, rchi, sf, si, dtype):
+    """The fused chi/self/foreign/minor aux-selection W (Kc, T): the
+    one-hot blocks concatenate along K against the block-diagonal aux
+    table, with the continuum/minor temperature-interpolation weights
+    FOLDED into the entries (lo tap fac*(1-frac), clamped hi tap
+    fac*frac).  Shared by the Pallas kernel and the differentiable
+    XLA twin (forward_xla) so both contract the identical W."""
+    Dtot, Kc = meta["_shape"]
+    T = rchi.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Kc, T), 0)
+    one = jnp.ones((1, T), dtype)
+    taps = {
+        "chiT": (rchi // 5, one, None, None, None),
+        "selfT": (si["indself"], sf["selffac"],
+                  sf["selffrac"], 9, None),
+        "forT": (si["indfor"], sf["forfac"],
+                 sf["forfrac"], 3, None),
+        "minorT": (si["indminor"], one, sf["minorfrac"],
+                   18, None),
+    }
+    W = jnp.zeros((Kc, T), jnp.float32)
+    for name, (idx, fac, frac, hi_max, _) in taps.items():
+        if name not in meta:
+            continue
+        _, _, c0 = meta[name]
+        if frac is None:
+            W = W + jnp.where(iota == c0 + idx, 1.0, 0.0)
+        else:
+            lo_w = fac * (1.0 - frac)
+            hi_w = fac * frac
+            hi = jnp.minimum(idx + 1, hi_max)
+            W = (W + jnp.where(iota == c0 + idx, lo_w, 0.0)
+                 + jnp.where(iota == c0 + hi, hi_w, 0.0))
+    return W
+
+
 class _Ctx(NamedTuple):
     sf: dict                 # name -> (1, T) float row
     si: dict                 # name -> (1, T) int row
@@ -394,7 +430,14 @@ def _adjusted_col(ctx: _Ctx, adj: Adj, dtype):
         m = _GAS_CHI[adj.gas] - 1
         chiref = ctx.Mchi[m: m + 1, :]
     ratio = 1.0e20 * chi_gas / chiref
-    adjfac = adj.base + jnp.maximum(ratio - adj.base, 0.0) ** adj.expnt
+    # double-where (same guard as TaumolEngine._adjusted_col): the
+    # fractional power's VJP is inf at a clamped 0 base, and inf*0 =
+    # NaN would leak through a single where/maximum into every
+    # d(tau)/d(input) when forward_xla is differentiated.  Primal
+    # unchanged: every Adj has threshold >= base, so the taken branch
+    # strictly satisfies ratio - base > 0.
+    excess = jnp.where(ratio > adj.threshold, ratio - adj.base, 1.0)
+    adjfac = adj.base + excess ** adj.expnt
     adjcol = adjfac * chiref * ctx.sf["coldry"] * 1.0e-20
     return jnp.where(ratio > adj.threshold, adjcol, colgas)
 
@@ -678,15 +721,26 @@ class PallasTaumol:
             return self._forward_native(sc, prof), (sc, prof)
 
         def bwd(res, ct):
-            sc, prof = res
+            # Default: the in-kernel-vjp Pallas backward (VMEM-
+            # resident, ~fwd-kernel cost structure).  Fallbacks
+            # (RRTMG_TAUMOL_BWD): "twin" = column-chunked vjp of the
+            # differentiable XLA restatement of the kernel math
+            # (forward_xla); "engine" = vjp of the f64-parity gather
+            # engine (the original path: 345 ms fwd replay at B=4096).
+            mode = os.environ.get("RRTMG_TAUMOL_BWD", "pallas")
+            if mode == "engine":
+                sc, prof = res
 
-            def f(s, p):
-                tg, fr = self._xla_engine(s, p)
-                return (jnp.transpose(tg, (2, 1, 0)),
-                        jnp.transpose(fr, (2, 1, 0)))
+                def f(s, p):
+                    tg, fr = self._xla_engine(s, p)
+                    return (jnp.transpose(tg, (2, 1, 0)),
+                            jnp.transpose(fr, (2, 1, 0)))
 
-            _, vjp = jax.vjp(f, sc, prof)
-            return vjp(ct)
+                _, vjp = jax.vjp(f, sc, prof)
+                return vjp(ct)
+            if mode == "twin":
+                return self._bwd_xla_chunked(res, ct, ct_axis=2)
+            return self._bwd_pallas(res, ct, blocked=False)
 
         call_native.defvjp(fwd, bwd)
         self._call_native = call_native
@@ -699,18 +753,25 @@ class PallasTaumol:
             return self._forward_blocked(sc, prof), (sc, prof)
 
         def bwd_b(res, ct):
-            sc, prof = res
+            mode = os.environ.get("RRTMG_TAUMOL_BWD", "pallas")
+            if mode == "engine":
+                sc, prof = res
 
-            def f(s, p):
-                tg, fr = self._xla_engine(s, p)          # (B, L, 140)
-                pads = ((0, 0), (0, 4), (0, 0))
+                def f(s, p):
+                    tg, fr = self._xla_engine(s, p)      # (B, L, 140)
+                    pads = ((0, 0), (0, 4), (0, 0))
 
-                def to_blocked(x):
-                    return jnp.pad(jnp.transpose(x, (1, 2, 0)), pads)
-                return to_blocked(tg), to_blocked(fr)
+                    def to_blocked(x):
+                        return jnp.pad(jnp.transpose(x, (1, 2, 0)),
+                                       pads)
+                    return to_blocked(tg), to_blocked(fr)
 
-            _, vjp = jax.vjp(f, sc, prof)
-            return vjp(ct)
+                _, vjp = jax.vjp(f, sc, prof)
+                return vjp(ct)
+            if mode == "twin":
+                return self._bwd_xla_chunked(res, ct, ct_axis=2,
+                                             blocked=True)
+            return self._bwd_pallas(res, ct, blocked=True)
 
         call_blocked.defvjp(fwd_b, bwd_b)
         self._call_blocked = call_blocked
@@ -723,7 +784,8 @@ class PallasTaumol:
         return call
 
     # ------------------------------------------------------------------
-    def _build(self, blocked: bool = False, T: int = 0):
+    def _build(self, blocked: bool = False, T: int = 0,
+               bwd: bool = False):
         T = T or self.tile
         low, up = self.low, self.up
         chi_np = self.chi_np
@@ -751,20 +813,19 @@ class PallasTaumol:
 
         aux_meta = self._aux_meta
 
-        def kernel(wb_ref, scf_ref, sci_ref, keyl_ref, auxl_ref,
-                   fracl_ref, cfcl_ref, prefl_ref, keyu_ref, auxu_ref,
-                   fracu_ref, cfcu_ref, prefu_ref, taug_ref, fracs_ref):
-            fin = {name: scf_ref[i: i + 1, :]
+        def make_do(scf, jp, lm_row, keyl_ref, auxl_ref, fracl_ref,
+                    cfcl_ref, prefl_ref, keyu_ref, auxu_ref, fracu_ref,
+                    cfcu_ref, prefu_ref, base_l, base_u):
+            """Per-tile band evaluation.  ``scf`` may be the (NSF, T)
+            VMEM ref (forward kernel: rows load lazily, exactly the
+            pre-refactor code) or a (NSF, T) VALUE — in which case the
+            function is PURE in it, which is what the backward kernel
+            exploits: jax.vjp over this very function, in VMEM, with
+            the table refs loaded primal-only.  Returns do(lower) ->
+            (taug, fracs) (140, T)."""
+            fin = {name: scf[i: i + 1, :]
                    for i, name in enumerate(F_FIELDS)}
-            jp = sci_ref[0:1, :]                         # (1, T) int
-            lm_row = sci_ref[1:2, :]                     # (1, T) int
             lm = lm_row > 0
-            if win:
-                # hoisted out of pl.when (program_id is not lowerable
-                # inside a cond branch in interpret mode)
-                pid = pl.program_id(0)
-                base_l = wb_ref[0, pid] * WSTEP
-                base_u = wb_ref[1, pid] * WSTEP
 
             # ---- fused setcoef, region-independent rows ----
             # (rrtmg_lw_setcoef.f90:256-367; expressions transcribed
@@ -827,7 +888,8 @@ class PallasTaumol:
                 # clip keeps out-of-region cells of mixed tiles on a
                 # real row (finite garbage, discarded by the lm merge)
                 jp_loc = jnp.clip(jp - upper_ofs, 0, P - 2)
-                iota = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+                Tl = jp.shape[1]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (P, Tl), 0)
                 Wa = (iota == jp_loc).astype(dtype)          # (P, T)
                 Wb_ = (iota == jp_loc + 1).astype(dtype)
 
@@ -859,47 +921,11 @@ class PallasTaumol:
                 si = dict(si_common, jt=jt - 1, jt1=jt1 - 1)
                 return sf, si
 
-            # Cells arrive layer-major, so a tile is usually entirely
-            # below or entirely above laytrop: evaluate each region only
-            # when the tile contains cells in it (both run on the few
-            # boundary-straddling tiles; the lm merge keeps mixed tiles
-            # exact).
-            any_lower = jnp.max(lm_row) > 0
-            any_upper = jnp.min(lm_row) < 1
-
             def aux_dot(aux_ref, meta, rchi, sf, si):
-                """Fused chi/self/foreign/minor selection: the one-hot
-                blocks concatenate along K against the block-diagonal
-                aux table — one MXU dot replaces four.  The continuum /
-                minor temperature-interpolation weights are FOLDED into
-                the W entries (lo tap gets fac*(1-frac), the clamped
-                hi tap fac*frac), so the per-band fma chains collapse
-                into the matmul and the tables carry a single tap."""
-                Dtot, Kc = meta["_shape"]
-                iota = jax.lax.broadcasted_iota(jnp.int32, (Kc, T), 0)
-                one = jnp.ones((1, T), dtype)
-                taps = {
-                    "chiT": (rchi // 5, one, None, None, None),
-                    "selfT": (si["indself"], sf["selffac"],
-                              sf["selffrac"], 9, None),
-                    "forT": (si["indfor"], sf["forfac"],
-                             sf["forfrac"], 3, None),
-                    "minorT": (si["indminor"], one, sf["minorfrac"],
-                               18, None),
-                }
-                W = jnp.zeros((Kc, T), jnp.float32)
-                for name, (idx, fac, frac, hi_max, _) in taps.items():
-                    if name not in meta:
-                        continue
-                    _, _, c0 = meta[name]
-                    if frac is None:
-                        W = W + jnp.where(iota == c0 + idx, 1.0, 0.0)
-                    else:
-                        lo_w = fac * (1.0 - frac)
-                        hi_w = fac * frac
-                        hi = jnp.minimum(idx + 1, hi_max)
-                        W = (W + jnp.where(iota == c0 + idx, lo_w, 0.0)
-                             + jnp.where(iota == c0 + hi, hi_w, 0.0))
+                """Fused chi/self/foreign/minor selection: one MXU dot
+                replaces four (W build shared with the XLA twin — see
+                _aux_W)."""
+                W = _aux_W(meta, rchi, sf, si, dtype)
                 M = _dot_facw(aux_ref[:], W, ns, nw)
 
                 def sl(name):
@@ -909,79 +935,93 @@ class PallasTaumol:
                     return M[r0: r0 + D]
                 return sl
 
-            @pl.when(any_lower)
-            def _lower():
-                sf, si = region_ctx(prefl_ref, 13, 0)
-                jt, jt1 = si["jt"], si["jt1"]
-                r0l = jnp.clip(jp * 5 + jt, 0, 64)
-                r1l = jnp.clip((jp + 1) * 5 + jt1, 0, 64)
-                if keyl_ref is not None:
-                    if win:
-                        W0l = _fac_w(r0l, sf["fac00"], sf["fac10"],
-                                     win, dtype, base_l)
-                        W1l = _fac_w(r1l, sf["fac01"], sf["fac11"],
-                                     win, dtype, base_l)
-                    else:
-                        W0l = _fac_w(r0l, sf["fac00"], sf["fac10"],
-                                     65, dtype)
-                        W1l = _fac_w(r1l, sf["fac01"], sf["fac11"],
-                                     65, dtype)
-                    M0l, M1l = _dot_facw2(keyl_ref[:], W0l, W1l,
-                                          ns, nw)
+            def do(lower):
+                if lower:
+                    sf, si = region_ctx(prefl_ref, 13, 0)
+                    jt, jt1 = si["jt"], si["jt1"]
+                    r0r = jnp.clip(jp * 5 + jt, 0, 64)
+                    r1r = jnp.clip((jp + 1) * 5 + jt1, 0, 64)
+                    key_ref, aux_ref = keyl_ref, auxl_ref
+                    frac_ref, cfc_ref = fracl_ref, cfcl_ref
+                    R, base, meta, reg = 65, base_l, aux_meta[65], low
                 else:
-                    M0l = M1l = None
-                sl = aux_dot(auxl_ref, aux_meta[65], r1l, sf, si)
-                ctx_l = _Ctx(
-                    sf, si, M0l, M1l,
+                    sf, si = region_ctx(prefu_ref, 47, 12)
+                    jt, jt1 = si["jt"], si["jt1"]
+                    r0r = jnp.clip((jp - 12) * 5 + jt, 0, 234)
+                    r1r = jnp.clip((jp - 11) * 5 + jt1, 0, 234)
+                    key_ref, aux_ref = keyu_ref, auxu_ref
+                    frac_ref, cfc_ref = fracu_ref, cfcu_ref
+                    R, base, meta, reg = 235, base_u, aux_meta[235], up
+                if key_ref is not None:
+                    if win:
+                        W0 = _fac_w(r0r, sf["fac00"], sf["fac10"],
+                                    win, dtype, base)
+                        W1 = _fac_w(r1r, sf["fac01"], sf["fac11"],
+                                    win, dtype, base)
+                    else:
+                        W0 = _fac_w(r0r, sf["fac00"], sf["fac10"],
+                                    R, dtype)
+                        W1 = _fac_w(r1r, sf["fac01"], sf["fac11"],
+                                    R, dtype)
+                    M0, M1 = _dot_facw2(key_ref[:], W0, W1, ns, nw)
+                else:
+                    M0 = M1 = None
+                sl = aux_dot(aux_ref, meta, r1r, sf, si)
+                ctx = _Ctx(
+                    sf, si, M0, M1,
                     sl("chiT"), sl("selfT"), sl("forT"), sl("minorT"),
-                    fracl_ref[:] if fracl_ref is not None else None,
-                    cfcl_ref[:] if cfcl_ref is not None else None,
-                    low)
+                    frac_ref[:] if frac_ref is not None else None,
+                    cfc_ref[:] if cfc_ref is not None else None,
+                    reg)
                 taug_parts, frac_parts = [], []
                 for bs in BAND_SPECS:
-                    tl, fl = _region_eval(bs.lower, bs.band, True, ctx_l,
+                    spec = bs.lower if lower else bs.upper
+                    tg, fr = _region_eval(spec, bs.band, lower, ctx,
                                           chi_np, dtype)
-                    taug_parts.append(tl)
-                    frac_parts.append(fl)
-                write_out(taug_ref, jnp.concatenate(taug_parts, axis=0))
-                write_out(fracs_ref, jnp.concatenate(frac_parts, axis=0))
+                    taug_parts.append(tg)
+                    frac_parts.append(fr)
+                return (jnp.concatenate(taug_parts, axis=0),
+                        jnp.concatenate(frac_parts, axis=0))
+
+            return do
+
+        def kernel(wb_ref, scf_ref, sci_ref, keyl_ref, auxl_ref,
+                   fracl_ref, cfcl_ref, prefl_ref, keyu_ref, auxu_ref,
+                   fracu_ref, cfcu_ref, prefu_ref, taug_ref, fracs_ref):
+            jp = sci_ref[0:1, :]                         # (1, T) int
+            lm_row = sci_ref[1:2, :]                     # (1, T) int
+            lm = lm_row > 0
+            if win:
+                # hoisted out of pl.when (program_id is not lowerable
+                # inside a cond branch in interpret mode)
+                pid = pl.program_id(0)
+                base_l = wb_ref[0, pid] * WSTEP
+                base_u = wb_ref[1, pid] * WSTEP
+            else:
+                base_l = base_u = None
+
+            do = make_do(scf_ref, jp, lm_row, keyl_ref, auxl_ref,
+                         fracl_ref, cfcl_ref, prefl_ref, keyu_ref,
+                         auxu_ref, fracu_ref, cfcu_ref, prefu_ref,
+                         base_l, base_u)
+
+            # Cells arrive layer-major, so a tile is usually entirely
+            # below or entirely above laytrop: evaluate each region only
+            # when the tile contains cells in it (both run on the few
+            # boundary-straddling tiles; the lm merge keeps mixed tiles
+            # exact).
+            any_lower = jnp.max(lm_row) > 0
+            any_upper = jnp.min(lm_row) < 1
+
+            @pl.when(any_lower)
+            def _lower():
+                tl, fl = do(True)
+                write_out(taug_ref, tl)
+                write_out(fracs_ref, fl)
 
             @pl.when(any_upper)
             def _upper():
-                sf, si = region_ctx(prefu_ref, 47, 12)
-                jt, jt1 = si["jt"], si["jt1"]
-                r0u = jnp.clip((jp - 12) * 5 + jt, 0, 234)
-                r1u = jnp.clip((jp - 11) * 5 + jt1, 0, 234)
-                if keyu_ref is not None:
-                    if win:
-                        W0u = _fac_w(r0u, sf["fac00"], sf["fac10"],
-                                     win, dtype, base_u)
-                        W1u = _fac_w(r1u, sf["fac01"], sf["fac11"],
-                                     win, dtype, base_u)
-                    else:
-                        W0u = _fac_w(r0u, sf["fac00"], sf["fac10"],
-                                     235, dtype)
-                        W1u = _fac_w(r1u, sf["fac01"], sf["fac11"],
-                                     235, dtype)
-                    M0u, M1u = _dot_facw2(keyu_ref[:], W0u, W1u,
-                                          ns, nw)
-                else:
-                    M0u = M1u = None
-                su = aux_dot(auxu_ref, aux_meta[235], r1u, sf, si)
-                ctx_u = _Ctx(
-                    sf, si, M0u, M1u,
-                    su("chiT"), su("selfT"), su("forT"), su("minorT"),
-                    fracu_ref[:] if fracu_ref is not None else None,
-                    cfcu_ref[:] if cfcu_ref is not None else None,
-                    up)
-                taug_parts, frac_parts = [], []
-                for bs in BAND_SPECS:
-                    tu, fu = _region_eval(bs.upper, bs.band, False,
-                                          ctx_u, chi_np, dtype)
-                    taug_parts.append(tu)
-                    frac_parts.append(fu)
-                tu_all = jnp.concatenate(taug_parts, axis=0)
-                fu_all = jnp.concatenate(frac_parts, axis=0)
+                tu_all, fu_all = do(False)
                 # pure-upper tiles never wrote taug_ref; lm is all-false
                 # there so the where never selects the unwritten buffer
                 write_out(taug_ref,
@@ -989,9 +1029,68 @@ class PallasTaumol:
                 write_out(fracs_ref,
                           jnp.where(lm, read_out(fracs_ref), fu_all))
 
+        def kernel_bwd(wb_ref, scf_ref, sci_ref, keyl_ref, auxl_ref,
+                       fracl_ref, cfcl_ref, prefl_ref, keyu_ref,
+                       auxu_ref, fracu_ref, cfcu_ref, prefu_ref,
+                       ct_tg_ref, ct_fr_ref, ctf_ref):
+            """Backward: cotangents of (taug, fracs) -> cotangent of
+            the NSF packed profile rows, computed by jax.vjp OVER THE
+            SAME per-tile function the forward kernel runs — entirely
+            in VMEM (VERDICT r4 #1: the XLA twin's whole-batch vjp was
+            HBM-bound at ~390 ms for B=4096; this kernel's fwd+bwd
+            tile math is the forward kernel's cost structure x ~3).
+            sc cotangents are identically zero: the kernel's only sc
+            dependence is the discrete jp/laytrop pair (see F_FIELDS);
+            every continuous dependence enters through the fused
+            setcoef recomputation from the profile rows, so d(taug)/
+            d(profile) here IS the total derivative."""
+            jp = sci_ref[0:1, :]
+            lm_row = sci_ref[1:2, :]
+            lm = lm_row > 0
+            if win:
+                pid = pl.program_id(0)
+                base_l = wb_ref[0, pid] * WSTEP
+                base_u = wb_ref[1, pid] * WSTEP
+            else:
+                base_l = base_u = None
+
+            scf0 = scf_ref[:]
+            if blocked:
+                ct = (ct_tg_ref[0, :140, :].astype(jnp.float32),
+                      ct_fr_ref[0, :140, :].astype(jnp.float32))
+            else:
+                ct = (ct_tg_ref[:].astype(jnp.float32),
+                      ct_fr_ref[:].astype(jnp.float32))
+
+            any_lower = jnp.max(lm_row) > 0
+            any_upper = jnp.min(lm_row) < 1
+
+            def region_ct(lower):
+                def g(scf):
+                    do = make_do(scf, jp, lm_row, keyl_ref, auxl_ref,
+                                 fracl_ref, cfcl_ref, prefl_ref,
+                                 keyu_ref, auxu_ref, fracu_ref,
+                                 cfcu_ref, prefu_ref, base_l, base_u)
+                    return do(lower)
+                _, vjp = jax.vjp(g, scf0)
+                (cs,) = vjp(ct)
+                return cs
+
+            @pl.when(any_lower)
+            def _bl():
+                ctf_ref[:] = jnp.where(lm, region_ct(True), 0.0)
+
+            @pl.when(any_upper)
+            def _bu():
+                # pure-upper tiles never wrote ctf_ref; lm is all-false
+                # there so the where never selects the unwritten buffer
+                ctf_ref[:] = jnp.where(lm, ctf_ref[:], region_ct(False))
+
         tables = self._packed_win if (blocked and self.window) \
             else self._packed
         live = [t is not None for t in tables]
+        kern = kernel_bwd if bwd else kernel
+        n_extra = 2 if bwd else 0
 
         def kernel_adapter(*refs):
             if win:
@@ -1001,8 +1100,8 @@ class PallasTaumol:
                 wb_ref = None
             it = iter(refs[:sum(live)])
             full = [next(it) if ok else None for ok in live]
-            taug_ref, fracs_ref = refs[sum(live):]
-            kernel(wb_ref, scf_ref, sci_ref, *full, taug_ref, fracs_ref)
+            out_refs = refs[sum(live):]
+            kern(wb_ref, scf_ref, sci_ref, *full, *out_refs)
 
         # index_map arity: +1 trailing scalar-prefetch ref with windows
         if win:
@@ -1033,26 +1132,49 @@ class PallasTaumol:
             pl.BlockSpec((NSI, T), row_map, memory_space=pltpu.VMEM),
         ] + tab_specs()
 
-        def call(grid, out_shape, out_specs, wb, scf, sci, tabs):
+        def call(grid, out_shape, out_specs, wb, scf, sci, tabs,
+                 extra=(), extra_specs=()):
             kw = dict(compiler_params=pltpu.CompilerParams(
                           vmem_limit_bytes=100 * 1024 * 1024),
                       interpret=self.interpret)
+            specs = in_specs + list(extra_specs)
             if win:
                 return pl.pallas_call(
                     kernel_adapter,
                     grid_spec=pltpu.PrefetchScalarGridSpec(
                         num_scalar_prefetch=1, grid=(grid,),
-                        in_specs=in_specs, out_specs=out_specs),
+                        in_specs=specs, out_specs=out_specs),
                     out_shape=out_shape, **kw,
-                )(wb, scf, sci, *tabs)
+                )(wb, scf, sci, *tabs, *extra)
             return pl.pallas_call(
-                kernel_adapter, grid=(grid,), in_specs=in_specs,
+                kernel_adapter, grid=(grid,), in_specs=specs,
                 out_specs=out_specs, out_shape=out_shape, **kw,
-            )(scf, sci, *tabs)
+            )(scf, sci, *tabs, *extra)
 
         if blocked:
             # output in the RT sweep kernel's (L, G_pad, B) block layout:
             # grid step i covers layer i // (B//T), columns (i % (B//T))*T
+            if bwd:
+                @functools.partial(jax.jit, static_argnums=(0, 1))
+                def run(L, B, wb, scf, sci, ct_tg, ct_fr, *tabs):
+                    nbt = B // T
+                    if win:
+                        omap = lambda i, wb: (i // nbt, 0, i % nbt)
+                    else:
+                        omap = lambda i: (i // nbt, 0, i % nbt)
+                    cspec = pl.BlockSpec((1, GP, T), omap,
+                                         memory_space=pltpu.VMEM)
+                    ctf_spec = pl.BlockSpec((NSF, T), row_map,
+                                            memory_space=pltpu.VMEM)
+                    return call(
+                        L * nbt,
+                        jax.ShapeDtypeStruct((NSF, L * B), jnp.float32),
+                        ctf_spec, wb, scf, sci, tabs,
+                        extra=(ct_tg, ct_fr),
+                        extra_specs=(cspec, cspec))
+
+                return run
+
             @functools.partial(jax.jit, static_argnums=(0, 1))
             def run(L, B, wb, scf, sci, *tabs):
                 nbt = B // T
@@ -1068,6 +1190,21 @@ class PallasTaumol:
                     (jax.ShapeDtypeStruct((L, GP, B), sdt),
                      jax.ShapeDtypeStruct((L, GP, B), sdt)),
                     (ospec, ospec), wb, scf, sci, tabs)
+
+            return run
+
+        if bwd:
+            @functools.partial(jax.jit, static_argnums=(0,))
+            def run(C, scf, sci, ct_tg, ct_fr, *tabs):
+                cspec = pl.BlockSpec((140, T), row_map,
+                                     memory_space=pltpu.VMEM)
+                ctf_spec = pl.BlockSpec((NSF, T), row_map,
+                                        memory_space=pltpu.VMEM)
+                return call(
+                    C // T,
+                    jax.ShapeDtypeStruct((NSF, C), jnp.float32),
+                    ctf_spec, None, scf, sci, tabs,
+                    extra=(ct_tg, ct_fr), extra_specs=(cspec, cspec))
 
             return run
 
@@ -1176,6 +1313,79 @@ class PallasTaumol:
             self._blocked_cache[T] = self._build(blocked=True, T=T)
         return self._blocked_cache[T]
 
+    def _bwd_kernel(self, blocked, T):
+        key = ("bwd", blocked, T)
+        if key not in self._blocked_cache:
+            self._blocked_cache[key] = self._build(blocked=blocked,
+                                                   T=T, bwd=True)
+        return self._blocked_cache[key]
+
+    def _bwd_pallas(self, res, ct, blocked):
+        """custom_vjp backward via the in-kernel-vjp Pallas kernel
+        (see kernel_bwd in _build).  Returns (ct_sc, ct_prof); ct_sc
+        is zero by construction — the kernel's continuous dependence
+        on the atmosphere enters exclusively through the fused-setcoef
+        recomputation from the packed profile rows (sc contributes
+        only the discrete jp/laytrop values), so the profile cotangent
+        is the total derivative."""
+        sc, prof = res
+        B, L = sc.jp.shape
+        C = B * L
+        ct_tg, ct_fr = ct
+        if blocked:
+            T = self.blocked_tile(B)
+            # the vjp roughly triples live VMEM per tile; cap the
+            # backward tile (BLOCKED_TILES are powers of two, so 512
+            # divides B whenever a larger tile did)
+            Tb = min(T, 512)
+            scf, sci = self._pack(sc, prof, pad=0)
+            wb = self._wb(sci, C // Tb, Tb)
+            tabs = self._tables_dev_win if self.window \
+                else self._tables_dev
+            ctf = self._bwd_kernel(True, Tb)(L, B, wb, scf, sci,
+                                             ct_tg, ct_fr, *tabs)
+        else:
+            T = self.tile
+            Cp = ((C + T - 1) // T) * T
+            pad = Cp - C
+            scf, sci = self._pack(sc, prof, pad=pad)
+
+            def fl(x):                     # (140, L, B) -> (140, Cp)
+                y = x.reshape(140, C)
+                return jnp.pad(y, ((0, 0), (0, pad))) if pad else y
+
+            ctf = self._bwd_kernel(False, T)(Cp, scf, sci, fl(ct_tg),
+                                             fl(ct_fr),
+                                             *self._tables_dev)
+            ctf = ctf[:, :C]
+
+        def uf(i):                         # packed row -> (B, L)
+            return ctf[i].reshape(L, B).T
+
+        g = {name: uf(i) for i, name in enumerate(F_FIELDS)}
+        wkl = jnp.stack([g[f"wkl{i}"] for i in range(7)], axis=-1)
+        wx = jnp.stack([g[f"wx{i}"] for i in range(4)], axis=-1)
+        ct_prof = Profile(
+            pavel=g["pavel"], tavel=g["tavel"],
+            pz=jnp.zeros_like(prof.pz), tz=jnp.zeros_like(prof.tz),
+            tbound=jnp.zeros_like(prof.tbound),
+            semiss=jnp.zeros_like(prof.semiss),
+            coldry=g["coldry"], wkl=wkl, wbrodl=g["wbrodl"], wx=wx,
+            pwvcm=jnp.zeros_like(prof.pwvcm),
+            taua=jnp.zeros_like(prof.taua),
+            dtbound=(None if prof.dtbound is None
+                     else jnp.zeros_like(prof.dtbound)))
+
+        def ct_zero(x):
+            if x is None:
+                return None
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+                return jnp.zeros_like(x)
+            return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+        ct_sc = SetcoefOut(*(ct_zero(x) for x in sc))
+        return ct_sc, ct_prof
+
     def _forward_blocked(self, sc: SetcoefOut, prof: Profile):
         B, L = sc.jp.shape
         T = self.blocked_tile(B)
@@ -1232,3 +1442,149 @@ class PallasTaumol:
         Cp = ((C + T - 1) // T) * T
         scf, sci = self._pack(sc, prof, pad=Cp - C)
         return self._kernel(Cp, scf, sci, *self._tables_dev)
+
+    # ------------------------------------------------------------------
+    # Differentiable XLA twin (the custom_vjp backward path)
+    # ------------------------------------------------------------------
+    def _bwd_xla_chunked(self, res, ct, ct_axis, blocked=False):
+        """vjp of forward_xla in column chunks (see ops/_vjp_chunk.py:
+        whole-batch residuals measured 43 GB at B=4096; chunking
+        bounds them to one chunk)."""
+        from ._vjp_chunk import chunkable, chunked_vjp, pick_nchunk
+        sc, prof = res
+        B, L = sc.jp.shape
+
+        if blocked:
+            def f(s, p):
+                tg, fr = self.forward_xla(s, p)          # (140, L, B)
+                pads = ((0, 0), (0, 4), (0, 0))
+
+                def to_blocked(x):
+                    return jnp.pad(jnp.transpose(x, (1, 0, 2)), pads)
+                return to_blocked(tg), to_blocked(fr)
+        else:
+            f = self.forward_xla
+
+        axes_sc = SetcoefOut(*(None if x is None else 0 for x in sc))
+        axes_prof = Profile(*(None if x is None else 0 for x in prof))
+        args = (sc, prof)
+        args_axes = (axes_sc, axes_prof)
+        ct_axes = (ct_axis, ct_axis)
+        nch = pick_nchunk(B, L)
+        if nch > 1 and not (chunkable(args, args_axes, B)
+                            and chunkable(ct, ct_axes, B)):
+            nch = 1
+        return chunked_vjp(f, args, ct, args_axes, ct_axes, nch)
+
+    def _xla_tabs(self):
+        """jnp handles onto the flat packed tables, by region.  Built
+        EAGERLY (outside any trace) — jnp.asarray inside a jit trace
+        would cache constant tracers that leak into later traces."""
+        if not hasattr(self, "_xla_tabs_cache"):
+            p = self._packed
+
+            def j(t):
+                return None if t is None else jnp.asarray(t)
+            with jax.ensure_compile_time_eval():
+                self._xla_tabs_cache = {
+                    True: (j(p[0]), j(p[1]), j(p[2]), j(p[3])),
+                    False: (j(p[5]), j(p[6]), j(p[7]), j(p[8])),
+                }
+        return self._xla_tabs_cache
+
+    def forward_xla(self, sc: SetcoefOut, prof: Profile):
+        """(taug, fracs) in the native (140, L, B) layout, computed in
+        plain XLA from the SAME packed split-bf16 tables and selection
+        math as the Pallas kernel (shared helpers: _fac_w, _dot_facw2,
+        _aux_W, _region_eval) — but fully differentiable by JAX
+        autodiff: every table selection is a one-hot MXU contraction
+        whose VJP is the transposed matmul; there are no per-cell
+        gathers (whose VJP would be scatters).
+
+        This is the custom_vjp BACKWARD path (VERDICT r4 #1): the
+        gather-based f64-parity engine measured 345 ms forward at
+        B=4096 x nlay=60 on a v5e, putting the grad step at 394 ms —
+        ~116x the 3.3 ms forward device time.  The twin replaces it
+        for vjp purposes only; the kernel remains the forward and the
+        engine remains the golden-parity reference.  Both atmosphere
+        regions evaluate densely and merge on the laytrop mask (the
+        kernel instead skips regions per layer-pure tile; dense
+        evaluation costs ~2x the kernel FLOPs — still ~2 orders below
+        the gather path)."""
+        dtype = jnp.float32
+        B, L = sc.jp.shape
+
+        def r(x):
+            return x.T.reshape(1, -1).astype(dtype)
+
+        def ri(x):
+            return x.T.reshape(1, -1).astype(jnp.int32)
+
+        sf = dict(
+            colh2o=r(sc.colh2o), colco2=r(sc.colco2),
+            colo3=r(sc.colo3), coln2o=r(sc.coln2o), colco=r(sc.colco),
+            colch4=r(sc.colch4), colo2=r(sc.colo2),
+            colbrd=r(sc.colbrd), selffac=r(sc.selffac),
+            selffrac=r(sc.selffrac), forfac=r(sc.forfac),
+            forfrac=r(sc.forfrac), minorfrac=r(sc.minorfrac),
+            scaleminor=r(sc.scaleminor),
+            scaleminorn2=r(sc.scaleminorn2),
+            pavel=r(prof.pavel), coldry=r(prof.coldry),
+            fac00=r(sc.fac00), fac10=r(sc.fac10),
+            fac01=r(sc.fac01), fac11=r(sc.fac11),
+            **{f"wx{i}": r(prof.wx[..., i]) for i in range(4)},
+            **{name: r(getattr(sc, name)) for name in (
+                "rat_h2oco2", "rat_h2oco2_1", "rat_h2oo3",
+                "rat_h2oo3_1", "rat_h2on2o", "rat_h2on2o_1",
+                "rat_h2och4", "rat_h2och4_1", "rat_n2oco2",
+                "rat_n2oco2_1", "rat_o3co2", "rat_o3co2_1")})
+        si = dict(jp=ri(sc.jp), jt=ri(sc.jt), jt1=ri(sc.jt1),
+                  indself=ri(sc.indself), indfor=ri(sc.indfor),
+                  indminor=ri(sc.indminor))
+
+        tabs = self._xla_tabs()
+        outs = {}
+        for lower in (True, False):
+            key_t, aux_t, frac_t, cfc_t = tabs[lower]
+            reg = self.low if lower else self.up
+            R = 65 if lower else 235
+            jp, jt, jt1 = si["jp"], si["jt"], si["jt1"]
+            if lower:
+                r0 = jnp.clip(jp * 5 + jt, 0, R - 1)
+                r1 = jnp.clip((jp + 1) * 5 + jt1, 0, R - 1)
+            else:
+                r0 = jnp.clip((jp - 12) * 5 + jt, 0, R - 1)
+                r1 = jnp.clip((jp - 11) * 5 + jt1, 0, R - 1)
+            if key_t is not None:
+                W0 = _fac_w(r0, sf["fac00"], sf["fac10"], R, dtype)
+                W1 = _fac_w(r1, sf["fac01"], sf["fac11"], R, dtype)
+                M0, M1 = _dot_facw2(key_t, W0, W1, self.nsplit,
+                                    self.nsplit_w)
+            else:
+                M0 = M1 = None
+            meta = self._aux_meta[R]
+            Maux = _dot_facw(aux_t, _aux_W(meta, r1, sf, si, dtype),
+                             self.nsplit, self.nsplit_w)
+
+            def sl(name, Maux=Maux, meta=meta):
+                if name not in meta:
+                    return None
+                o, D, _ = meta[name]
+                return Maux[o: o + D]
+
+            ctx = _Ctx(sf, si, M0, M1, sl("chiT"), sl("selfT"),
+                       sl("forT"), sl("minorT"), frac_t, cfc_t, reg)
+            taug_parts, frac_parts = [], []
+            for bs in BAND_SPECS:
+                spec = bs.lower if lower else bs.upper
+                tg, fr = _region_eval(spec, bs.band, lower, ctx,
+                                      self.chi_np, dtype)
+                taug_parts.append(tg)
+                frac_parts.append(fr)
+            outs[lower] = (jnp.concatenate(taug_parts, axis=0),
+                           jnp.concatenate(frac_parts, axis=0))
+
+        lm = ri(sc.laytrop_mask.astype(jnp.int32)) > 0       # (1, T)
+        taug = jnp.where(lm, outs[True][0], outs[False][0])
+        fracs = jnp.where(lm, outs[True][1], outs[False][1])
+        return (taug.reshape(140, L, B), fracs.reshape(140, L, B))
