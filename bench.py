@@ -161,8 +161,12 @@ def main():
                                10 if platform == "tpu" else 3))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     deep_nlay = int(os.environ.get("BENCH_DEEP_NLAY", 140))
+    # deep row at B=16384 (VERDICT r4 #4): the old B=4096 shape spent
+    # 40% of wall on unamortized axon dispatch, understating the chip
+    # (306.8k cols/s vs 462k wall / 516k device at B=16384 —
+    # PERF_NOTES round-4 scaling table)
     deep_ncol = int(os.environ.get(
-        "BENCH_DEEP_NCOLS", 4096 if platform == "tpu" else 128))
+        "BENCH_DEEP_NCOLS", 16384 if platform == "tpu" else 128))
     run_deep = os.environ.get("BENCH_DEEP", "1" if platform == "tpu"
                               else "0") == "1"
     dtype = jnp.float32
@@ -315,15 +319,23 @@ def main():
 
     # deep-atmosphere workload (GCM production depths)
     if run_deep:
-        atm_d = put(make_atmosphere(ncol=deep_ncol, nlay=deep_nlay,
-                                    dtype=dtype))
-        clouds_d = put(make_mcica_clouds(
-            ncol=deep_ncol, nlay=deep_nlay, dtype=dtype, layout=layout,
-            mask_dtype=np.int8 if layout == "compact" else None))
-        t_d, s_d = _bench_one(cld_step, (atm_d, clouds_d),
-                              max(3, iters // 2), repeats)
-        record("mcica_cloudy_deep", deep_ncol, deep_nlay, t_d, s_d,
-               {"_step_args": (cld_step, (atm_d, clouds_d))})
+        del atm, clouds                # free HBM for the deep batch
+        shapes = [(deep_ncol, deep_nlay, "mcica_cloudy_deep")]
+        # round-5 transition: one B=4096 continuity row alongside the
+        # new official B=16384 shape (drop next round)
+        if platform == "tpu" and deep_ncol == 16384 and \
+                os.environ.get("BENCH_DEEP_CONTINUITY", "1") == "1":
+            shapes.append((4096, deep_nlay, "mcica_cloudy_deep_b4096"))
+        for dn, dl, tag in shapes:
+            atm_d = put(make_atmosphere(ncol=dn, nlay=dl, dtype=dtype))
+            clouds_d = put(make_mcica_clouds(
+                ncol=dn, nlay=dl, dtype=dtype, layout=layout,
+                mask_dtype=np.int8 if layout == "compact" else None))
+            t_d, s_d = _bench_one(cld_step, (atm_d, clouds_d),
+                                  max(3, iters // 2), repeats)
+            record(tag, dn, dl, t_d, s_d,
+                   {"_step_args": (cld_step, (atm_d, clouds_d))})
+            del atm_d, clouds_d
 
     cols_per_sec = 2.0 * ncol / (t_clr + t_cld)
 
