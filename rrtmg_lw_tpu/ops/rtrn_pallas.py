@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import FLUXFAC, REC_6, WTDIFF
 from . import rtrn as rt_xla
 from .cldprop import CLDMIN
+from .taumol_pallas import spec_load_frac, spec_load_taut
 
 NBANDS = 16
 
@@ -230,7 +231,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                 srows.append(surf_r[48:64, :])
             sexp = edot_multi(srows)
             sem_g, pbnd_g = sexp[0], sexp[1]
-            f0 = fracs_r[0].astype(jnp.float32)
+            f0 = spec_load_frac(fracs_r[0])
             rad0 = f0 * pbnd_g
             reflect = 1.0 - sem_g
             radlu0 = rad0 + reflect * rad_s[0]
@@ -256,8 +257,8 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
             (pg, <the level tuple>)."""
             # upcast on read: taug/fracs may store bf16/f16 in HBM
             # (RRTMG_SPEC_DTYPE); no-op at the f32 default
-            t = rd(taut_r, k).astype(jnp.float32)
-            f = rd(fracs_r, k).astype(jnp.float32)
+            t = spec_load_taut(rd(taut_r, k))
+            f = spec_load_frac(rd(fracs_r, k))
             rows = [rd(play_r, k), plev_row]
             if with_taua:
                 rows.append(rd(taua_r, k))
@@ -495,7 +496,7 @@ def _build_kernel(L, Lp, Lc, G, G_pad, BT, L1p, cloudy, idrv, with_taua,
                     # replay the down sweep's per-level factors from
                     # the VMEM cache: no exp/divide/matmul here
                     row = chunk * Lc + k
-                    f = rd(fracs_r, k).astype(jnp.float32)
+                    f = spec_load_frac(rd(fracs_r, k))
                     atrans = at_s[pl.ds(row, 1)][0]
                     tf = tf_s[pl.ds(row, 1)][0]
                     blay = blay_s[pl.ds(row, 1)][0]
@@ -780,7 +781,7 @@ def rt_fluxes_pallas(taut, fracs, planklay, planklev, plankbnd,
     # blocked taut/fracs may arrive in the reduced HBM storage dtype
     # (RRTMG_SPEC_DTYPE experiment); everything else must be f32
     assert dtype == jnp.float32 or (
-        blocked and dtype in (jnp.bfloat16, jnp.float16))
+        blocked and dtype in (jnp.bfloat16, jnp.float16, jnp.uint16))
     dtype = jnp.float32
     # launch-shape A/B knobs (tools/ab_matrix.py sweeps these on-chip;
     # read at trace time, so each setting needs a fresh jit)
@@ -1004,10 +1005,10 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
             odcld_g = jnp.where(
                 active, ciwp * absc_i + clwp * absc_l, tauc)
         if blocked:
-            taut = jnp.transpose(taut[:, :len(ngb0), :B],
-                                 (2, 0, 1)).astype(jnp.float32)
-            fracs = jnp.transpose(fracs[:, :len(ngb0), :B],
-                                  (2, 0, 1)).astype(jnp.float32)
+            taut = spec_load_taut(
+                jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1)))
+            fracs = spec_load_frac(
+                jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1)))
         elif native:
             taut = jnp.transpose(taut, (2, 1, 0))
             fracs = jnp.transpose(fracs, (2, 1, 0))
@@ -1131,7 +1132,8 @@ def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
     ngb0 = ngb_full[gsel]
     delwave = np.asarray(static["delwave"])
     B, L = cldfrac.shape
-    dtype = taut.dtype
+    dtype = (jnp.float32 if taut.dtype == jnp.uint16
+             else taut.dtype)   # logu16 storage decodes to f32
 
     def rows16(cldfrac):
         cloudy_lay = cldfrac >= 1.0e-6
@@ -1163,10 +1165,10 @@ def rt_maxrandom_pallas(taut, fracs, planklay, planklev, plankbnd,
     def fluxes_xla(taut, fracs, planklay, planklev, plankbnd,
                    dplankbnd_dt, semiss, pwvcm, pz, cldfrac, taucb_t,
                    taua):
-        taut_b = jnp.transpose(taut[:, :len(ngb0), :B],
-                               (2, 0, 1)).astype(jnp.float32)
-        fracs_b = jnp.transpose(fracs[:, :len(ngb0), :B],
-                                (2, 0, 1)).astype(jnp.float32)
+        taut_b = spec_load_taut(
+            jnp.transpose(taut[:, :len(ngb0), :B], (2, 0, 1)))
+        fracs_b = spec_load_frac(
+            jnp.transpose(fracs[:, :len(ngb0), :B], (2, 0, 1)))
         if planck_blocked:
             planklay = jnp.transpose(planklay[:, :, :B], (2, 0, 1))
             planklev = jnp.transpose(planklev[:, :, :B], (2, 0, 1))

@@ -268,6 +268,75 @@ NSPLIT_W = 2
 WINDOW = 64
 WSTEP = 8
 
+# ---------------------------------------------------------------------------
+# logu16 spectral storage codec (RRTMG_SPEC_DTYPE=logu16, round 5)
+#
+# The taug/fracs HBM round trip to the RT kernel is 2.3 GB/step at
+# B=16k — the dominant HBM term.  bf16 halves it but its 2^-8 relative
+# step measured 0.142 W/m2 flux error (9x the 3.1e-5 on-chip parity
+# tolerance, SPEC_DTYPE_AB round 4).  A log-quantized uint16 gives a
+# UNIFORM 3.4e-4 relative step over od in [1e-9, 4] (the full
+# flux-relevant range: od < 1e-9 is transmission-invisible; max
+# synthetic/deck taug measured 1.93): ~12x finer than bf16, projected
+# ~1e-2 W/m2 -> measured on-chip before any default change.  Code 0 is
+# the exact-zero / below-floor sentinel; fracs (in [0, 1)) use plain
+# linear uint16 (1.5e-5 absolute step).  Encode adds one log per
+# element in the taumol kernel, decode one exp per element in the RT
+# kernel (~1.3 ps/elem measured on v5e — the VPU has fast
+# transcendentals); both are fused into existing passes.
+# ---------------------------------------------------------------------------
+SPEC_LOG_LO = float(np.log(1e-9))
+SPEC_LOG_HI = float(np.log(4.0))
+_SPEC_LOG_SCALE = 65534.0 / (SPEC_LOG_HI - SPEC_LOG_LO)
+
+
+def _to_u16(x_f32):
+    # Mosaic has no f32<->u16 cast; route through int32 (exact for
+    # values in [0, 65535])
+    return x_f32.astype(jnp.int32).astype(jnp.uint16)
+
+
+def _u16_to_f32(u):
+    return u.astype(jnp.int32).astype(jnp.float32)
+
+
+def spec_encode_taug(x):
+    """f32 taug (>= ~-1e-9; tiny negatives from corradj cancellation
+    clamp to the zero sentinel — od clamps at 0 downstream anyway)."""
+    pos = x > 1e-9
+    e = jnp.log(jnp.maximum(x, 1e-9))
+    u = jnp.clip(jnp.round((e - SPEC_LOG_LO) * _SPEC_LOG_SCALE),
+                 0.0, 65534.0) + 1.0
+    return _to_u16(jnp.where(pos, u, 0.0))
+
+
+def spec_decode_taug(u):
+    uf = _u16_to_f32(u)        # compare in f32: Mosaic has no u16 cmp
+    v = jnp.exp(SPEC_LOG_LO + uf * (1.0 / _SPEC_LOG_SCALE)
+                - (1.0 / _SPEC_LOG_SCALE))
+    return jnp.where(uf == 0.0, 0.0, v)
+
+
+def spec_encode_frac(f):
+    return _to_u16(jnp.round(jnp.clip(f, 0.0, 1.0) * 65535.0))
+
+
+def spec_decode_frac(u):
+    return _u16_to_f32(u) * (1.0 / 65535.0)
+
+
+def spec_load_taut(x):
+    """Storage-dtype -> f32 upcast/decode for blocked taut reads."""
+    if x.dtype == jnp.uint16:
+        return spec_decode_taug(x)
+    return x.astype(jnp.float32)
+
+
+def spec_load_frac(x):
+    if x.dtype == jnp.uint16:
+        return spec_decode_frac(x)
+    return x.astype(jnp.float32)
+
 # Candidate cell tiles for the blocked (layer-pure) kernel, largest
 # first: wide tiles amortize the fused-setcoef prologue's small-row
 # VPU ops and the per-grid-step fixed costs (see blocked_tile()).
@@ -630,13 +699,14 @@ class PallasTaumol:
         # it at reduced precision (A/B via tools/spec_dtype_ab.py —
         # parity gates whether it ever becomes a default)
         _spec_dtypes = {"": jnp.float32, "f32": jnp.float32,
-                        "bf16": jnp.bfloat16, "f16": jnp.float16}
+                        "bf16": jnp.bfloat16, "f16": jnp.float16,
+                        "logu16": jnp.uint16}
         _sdt = os.environ.get("RRTMG_SPEC_DTYPE", "")
         if _sdt not in _spec_dtypes:
             raise ValueError(
                 f"RRTMG_SPEC_DTYPE={_sdt!r} is not a valid spectral "
                 f"storage dtype; allowed values: '' (default f32), "
-                f"'f32', 'bf16', 'f16'")
+                f"'f32', 'bf16', 'f16', 'logu16'")
         self.spec_dtype = _spec_dtypes[_sdt]
         self.nsplit = nsplit
         self.nsplit_w = nsplit_w
@@ -794,19 +864,29 @@ class PallasTaumol:
         GP = _pad8(140)            # blocked-mode g rows (RT kernel layout)
 
         if blocked:
-            def read_out(ref):
-                return ref[0, :140, :].astype(jnp.float32)
+            def _enc(arr, which):
+                if self.spec_dtype == jnp.uint16:     # logu16 codec
+                    return (spec_encode_taug(arr) if which == "tg"
+                            else spec_encode_frac(arr))
+                return arr.astype(self.spec_dtype)
 
-            def write_out(ref, arr):      # arr (140, T)
-                arr = arr.astype(ref.dtype)
+            def read_out(ref, which="tg"):
+                x = ref[0, :140, :]
+                if x.dtype == jnp.uint16:
+                    return (spec_decode_taug(x) if which == "tg"
+                            else spec_decode_frac(x))
+                return x.astype(jnp.float32)
+
+            def write_out(ref, arr, which="tg"):      # arr (140, T)
+                arr = _enc(arr, which)
                 ref[0, :, :] = jnp.concatenate(
                     [arr, jnp.zeros((GP - 140, arr.shape[1]),
                                     arr.dtype)], axis=0)
         else:
-            def read_out(ref):
+            def read_out(ref, which="tg"):
                 return ref[:]
 
-            def write_out(ref, arr):
+            def write_out(ref, arr, which="tg"):
                 ref[:] = arr
 
         win = self.window if blocked else None
@@ -1016,18 +1096,22 @@ class PallasTaumol:
             @pl.when(any_lower)
             def _lower():
                 tl, fl = do(True)
-                write_out(taug_ref, tl)
-                write_out(fracs_ref, fl)
+                write_out(taug_ref, tl, "tg")
+                write_out(fracs_ref, fl, "fr")
 
             @pl.when(any_upper)
             def _upper():
                 tu_all, fu_all = do(False)
                 # pure-upper tiles never wrote taug_ref; lm is all-false
                 # there so the where never selects the unwritten buffer
+                # (with the logu16 codec the lower half round-trips
+                # decode->encode: exact on its own grid points)
                 write_out(taug_ref,
-                          jnp.where(lm, read_out(taug_ref), tu_all))
+                          jnp.where(lm, read_out(taug_ref, "tg"),
+                                    tu_all), "tg")
                 write_out(fracs_ref,
-                          jnp.where(lm, read_out(fracs_ref), fu_all))
+                          jnp.where(lm, read_out(fracs_ref, "fr"),
+                                    fu_all), "fr")
 
         def kernel_bwd(wb_ref, scf_ref, sci_ref, keyl_ref, auxl_ref,
                        fracl_ref, cfcl_ref, prefl_ref, keyu_ref,
@@ -1328,6 +1412,12 @@ class PallasTaumol:
         recomputation from the packed profile rows (sc contributes
         only the discrete jp/laytrop values), so the profile cotangent
         is the total derivative."""
+        if self.spec_dtype != jnp.float32:
+            raise NotImplementedError(
+                "autodiff through reduced spectral storage "
+                "(RRTMG_SPEC_DTYPE) is unsupported: quantized "
+                "taug/fracs have no usable cotangent — unset the "
+                "knob for training runs")
         sc, prof = res
         B, L = sc.jp.shape
         C = B * L

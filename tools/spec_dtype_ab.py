@@ -2,7 +2,7 @@
 
 The taug+fracs write+read between the taumol and RT kernels is
 2.3 GB of the ~2.6 GB/step minimum HBM traffic at B=16k (~1.4 ms of
-a ~16 ms step).  RRTMG_SPEC_DTYPE=bf16|f16 stores those arrays
+a ~16 ms step).  RRTMG_SPEC_DTYPE=bf16|f16|logu16 stores those arrays
 reduced; this tool measures, in ONE process back-to-back (the chip
 drifts between processes):
 
@@ -80,7 +80,7 @@ def main():
 
     results = []
     ref = {}
-    for sdt in ("f32", "bf16", "f16"):
+    for sdt in ("f32", "bf16", "f16", "logu16"):
         os.environ["RRTMG_SPEC_DTYPE"] = sdt
         row = {"spec_dtype": sdt, "ncol": B, "nlay": L,
                "platform": platform}
