@@ -198,19 +198,18 @@ def main():
 
     detail = []
 
-    # documented device-time design floors, per column, at nlay=60
-    # (PERF_NOTES round-3 derivation at B=16k: taumol
-    # selection-matmul floor 5.7 ms + HBM/pack ~2 ms; RT VPU sweep
-    # elementwise floor ~4-5 ms cloudy / ~3 ms clear; planck+cldcoef
-    # ~1 ms).  The grad floor is the round-5 derivation (PERF_NOTES):
-    # fwd 13.5 + taumol bwd 3x5.9 + RT bwd 3x5.2 + cldcoef/planck bwd
-    # ~3 ms ~= 50 ms at B=16k if every backward ran at Pallas-kernel
-    # cost structure; the measured RT backward is XLA, so grad
-    # floor_util honestly reports the remaining headroom.
+    # DERIVED device-time floors, per column, at B=16384/nlay=60
+    # (PERF_NOTES round-5 op census + measured v5e primitive rates):
+    # clear = taumol kernel 5.7 + RT 3.4 + planck 0.6 + glue 0.5 =
+    # 10.2 ms; cloudy = 5.7 + RT 5.2 + cldcoef 0.8 + planck 0.65 +
+    # glue 0.6 = 13.0 ms.  Grad floor: fwd 13.5 + taumol bwd 3x5.9 +
+    # RT bwd 3x5.2 + cldcoef/planck bwd ~3 = ~50 ms if every backward
+    # ran at Pallas cost structure (the measured RT backward is XLA —
+    # floor_util honestly reports that headroom).
     # floor_util = floor / measured device time; null where no floor
     # has been derived (deep profiles).
-    floor_us_per_col = {"clear": 9.0e3 / 16384,
-                        "mcica_cloudy": 12.5e3 / 16384,
+    floor_us_per_col = {"clear": 10.2e3 / 16384,
+                        "mcica_cloudy": 13.0e3 / 16384,
                         "mcica_cloudy_grad": 50.0e3 / 16384}
 
     def device_time(name, step, args, B, L):
