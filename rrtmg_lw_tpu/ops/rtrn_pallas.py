@@ -1038,11 +1038,28 @@ def rt_random_overlap_pallas(taut, fracs, planklay, planklev, plankbnd,
         return fluxes(*args), args
 
     def bwd(args, ct):
+        B_, Lp1 = args[8].shape
+        # Preferred: the unrolled column-chunked backward (no
+        # scan-transpose — see rtrn_bwd.py); covers the production
+        # training configuration.  RRTMG_RT_BWD=xla forces the
+        # scan-based chunked path (A/B + fallback).
+        from .rtrn_bwd import rt_bwd_fluxes, rt_bwd_supported
+        if os.environ.get("RRTMG_RT_BWD", "unrolled") != "xla" and \
+                rt_bwd_supported(
+                    native="blocked" if blocked else native,
+                    cloudy=cloudy, fused=fused,
+                    n_cloud_fields=(0 if args[12] is None
+                                    else len(args[12])),
+                    idrv=idrv, planck_blocked=planck_blocked,
+                    B=B_, spec_dtype=args[0].dtype):
+            return rt_bwd_fluxes(args, ct, static=static,
+                                 gate_thresh=gate_thresh,
+                                 istart=istart, iend=iend,
+                                 interpret=interpret)
         # column-chunked vjp of the XLA twin (ops/_vjp_chunk.py): RT is
         # exactly per-column, and the whole-batch scan residuals are
         # what OOM'd the grad step at B>=8192 (VERDICT r4 #1)
         from ._vjp_chunk import chunkable, chunked_vjp, pick_nchunk
-        B_, Lp1 = args[8].shape
         ax_tf = 2 if (blocked or native) else 0
         ax_pl = 2 if planck_blocked else 0
         ax_cld = 2 if clouds_blocked else 0
