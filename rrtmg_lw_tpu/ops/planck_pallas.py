@@ -142,9 +142,18 @@ def planck_interp_blocked(temp_t, totplnk, *, tile=512, interpret=False):
         return interp(temp32), temp32
 
     def bwd(temp32, ct):                                 # ct (L, 16, B)
+        # per-cell row gathers are catastrophic on TPU (PERF_NOTES
+        # fact 1); select the slope row with a one-hot matmul instead
+        # (181-row space, HIGHEST keeps the exact f32 slope)
         ind = jnp.clip((temp32 - 159.0).astype(jnp.int32), 1, 180)
-        slope = (jnp.take(tbl_f32, ind, axis=0)
-                 - jnp.take(tbl_f32, ind - 1, axis=0))   # (L, B, 16)
+        dtbl = tbl_f32[1:] - tbl_f32[:-1]                # (180, 16)
+        flat = ind.reshape(-1, 1) - 1                    # (L*B, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32,
+                                        (flat.shape[0], 180), 1)
+        onehot = (iota == flat).astype(jnp.float32)
+        slope = jnp.dot(onehot, dtbl,
+                        precision=jax.lax.Precision.HIGHEST
+                        ).reshape(temp32.shape + (dtbl.shape[1],))
         return (jnp.einsum("lkb,lbk->lb", ct, slope),)
 
     interp.defvjp(fwd, bwd)
